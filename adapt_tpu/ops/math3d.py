@@ -1,0 +1,112 @@
+"""Vectorized 3D math for ray batches (device side, jnp).
+
+All functions operate on (..., 3) arrays and are jit/vmap-friendly.
+Rotation conventions follow the reference's Rodrigues construction
+(la/cam_transform.py:51-105) so tangent frames match for anisotropic BxDFs.
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+from scipy.spatial.transform import Rotation as Rot
+
+EPS = 1e-7
+AXIS_Y = jnp.array([0.0, 1.0, 0.0], jnp.float32)
+
+
+def dot(a, b, keepdims=False):
+    return jnp.sum(a * b, axis=-1, keepdims=keepdims)
+
+
+def normalize(v, eps=1e-12):
+    return v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), eps)
+
+
+def norm(v, keepdims=False):
+    return jnp.linalg.norm(v, axis=-1, keepdims=keepdims)
+
+
+def rotation_between(fixed, target):
+    """Batched Rodrigues rotation taking `fixed` to `target` (both unit).
+
+    Returns (..., 3, 3). Matches reference la/cam_transform.py:51-68: the skew
+    term uses the unnormalized cross product (|axis| = sin(theta)); near
+    (anti)parallel inputs fall back to +/- identity.
+    """
+    fixed = jnp.broadcast_to(fixed, target.shape)
+    axis = jnp.cross(fixed, target)                        # |axis| = sin
+    cos_t = dot(fixed, target)[..., None, None]
+    axis_n = normalize(axis)
+    eye = jnp.eye(3, dtype=target.dtype)
+    outer = axis_n[..., :, None] * axis_n[..., None, :]
+    ax, ay, az = axis[..., 0], axis[..., 1], axis[..., 2]
+    zeros = jnp.zeros_like(ax)
+    skew = jnp.stack([
+        jnp.stack([zeros, -az, ay], axis=-1),
+        jnp.stack([az, zeros, -ax], axis=-1),
+        jnp.stack([-ay, ax, zeros], axis=-1),
+    ], axis=-2)
+    rot = cos_t * eye + (1.0 - cos_t) * outer + skew
+    parallel = jnp.abs(cos_t) >= 1.0 - 1e-5
+    fallback = jnp.sign(cos_t) * eye
+    return jnp.where(parallel, fallback, rot)
+
+
+def rotation_from_y(target):
+    """rotation_between([0,1,0], target) — the common tangent-frame case."""
+    return rotation_between(AXIS_Y, target)
+
+
+def delocalize_rotate(anchor, local_dir):
+    """Local (y-up) frame -> global frame around `anchor`; returns (dir, R).
+
+    Reference: la/cam_transform.py:89-93."""
+    R = rotation_from_y(anchor)
+    return jnp.einsum("...ij,...j->...i", R, local_dir), R
+
+
+def localize_rotate(anchor, global_dir):
+    """Global frame -> local y-up frame of `anchor`
+    (reference la/cam_transform.py:95-99)."""
+    R = rotation_between(anchor, jnp.broadcast_to(AXIS_Y, anchor.shape))
+    return jnp.einsum("...ij,...j->...i", R, global_dir)
+
+
+def world_frame(local_anchor, global_anchor, local_dir):
+    """Rotate `local_dir` by the rotation taking local_anchor->global_anchor
+    (reference la/cam_transform.py:101-105)."""
+    R = rotation_between(local_anchor, global_anchor)
+    return jnp.einsum("...ij,...j->...i", R, local_dir)
+
+
+def convert_to_raw(d_in, normal):
+    """Direction -> (cos_theta, sin_theta, cos_phi, sin_phi) in the normal's
+    local frame (reference la/cam_transform.py:70-87). Returns (..., 4)."""
+    local_dir = localize_rotate(normal, d_in)
+    cos_theta = local_dir[..., 1]
+    sin_theta = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_theta * cos_theta))
+    safe = sin_theta > 1e-5
+    inv_sin = jnp.where(safe, 1.0 / jnp.maximum(sin_theta, 1e-12), 0.0)
+    cos_phi = jnp.where(safe, local_dir[..., 0] * inv_sin, 1.0)
+    sin_phi = jnp.where(safe, local_dir[..., 2] * inv_sin, 0.0)
+    return jnp.stack([cos_theta, sin_theta, cos_phi, sin_phi], axis=-1)
+
+
+def np_rotation_between(fixed: np.ndarray, target: np.ndarray) -> np.ndarray:
+    """Host-side camera rotation with roll elimination
+    (reference la/cam_transform.py:32-49)."""
+    axis = np.cross(fixed, target)
+    d = float(np.dot(fixed, target))
+    if abs(d) > 1.0 - 1e-5:
+        return np.sign(d) * np.eye(3, dtype=np.float32)
+    axis /= np.linalg.norm(axis)
+    axis *= np.arccos(d)
+    euler = Rot.from_rotvec(axis).as_euler("zxy")
+    euler[0] = 0.0  # eliminate roll
+    return Rot.from_euler("zxy", euler).as_matrix().astype(np.float32)
+
+
+def fov2focal(fov_deg: float, img_size: float) -> float:
+    """Pinhole focal length in pixels (reference la/cam_transform.py:20-22)."""
+    fov = fov_deg / 180.0 * np.pi
+    return 0.5 * img_size / np.tan(0.5 * fov)

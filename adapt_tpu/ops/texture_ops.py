@@ -1,0 +1,74 @@
+"""Vectorized texture fetch from packed atlases (device side).
+
+Mirrors reference bxdf/texture.py:102-139 `Texture.query` (bilinear taps into
+the packed atlas with wrap-around) and path_tracer.py:276-289 `get_uv_item`
+(local barycentric uv -> per-object global uv).
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def _bilinear(atlas, x, y):
+    """Bilinear fetch at float coords (x, y) in atlas[y, x] convention."""
+    H, W = atlas.shape[0], atlas.shape[1]
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    rx = (x - x0)[..., None]
+    ry = (y - y0)[..., None]
+    x0i = jnp.clip(x0.astype(jnp.int32), 0, W - 1)
+    y0i = jnp.clip(y0.astype(jnp.int32), 0, H - 1)
+    x1i = jnp.clip(x0i + 1, 0, W - 1)
+    y1i = jnp.clip(y0i + 1, 0, H - 1)
+    q00 = atlas[y0i, x0i]
+    q10 = atlas[y0i, x1i]
+    q01 = atlas[y1i, x0i]
+    q11 = atlas[y1i, x1i]
+    top = q00 * (1.0 - rx) + q10 * rx
+    bot = q01 * (1.0 - rx) + q11 * rx
+    return top * (1.0 - ry) + bot * ry
+
+
+def query_texture(table, obj_id, u, v):
+    """Per-ray texture query; returns ((N,3) color, (N,) valid mask).
+
+    Invalid where the object has no texture in this tag (mode == -255)."""
+    idx = jnp.maximum(obj_id, 0)
+    mode = table.mode[idx]
+    valid = (obj_id >= 0) & (mode > -255)
+
+    w = jnp.maximum(table.w[idx], 2.0)
+    h = jnp.maximum(table.h[idx], 2.0)
+    su = u * table.scale_u[idx] * w
+    sv = v * table.scale_v[idx] * h
+    # wrap to [0, dim-1) like the reference's float mod (texture.py:120-121)
+    su = jnp.mod(su, w - 1.0)
+    sv = jnp.mod(sv, h - 1.0)
+    x = su + table.off_x[idx].astype(jnp.float32)
+    y = sv + table.off_y[idx].astype(jnp.float32)
+    img_color = _bilinear(table.atlas, x, y)
+
+    # checkerboard (mode 1): two colors on a unit grid
+    checker = (jnp.floor(u * 2.0 * table.scale_u[idx])
+               + jnp.floor(v * 2.0 * table.scale_v[idx])) % 2.0
+    chk_color = jnp.where(checker[..., None] > 0.5, table.c2[idx],
+                          table.c1[idx])
+    color = jnp.where((mode == 1)[..., None], chk_color, img_color)
+    color = jnp.where(valid[..., None], color, -1.0)
+    return color, valid
+
+
+def get_uv_item(scene, table, it):
+    """Local barycentric uv -> global uv -> texture color
+    (reference path_tracer.py:276-289)."""
+    prim = it.prim_id
+    obj = jnp.maximum(it.obj_id, 0)
+    is_sphere = scene.obj_is_sphere[obj] > 0
+    uvc = scene.prim_uv[prim]           # (N,3,2)
+    lu, lv = it.uv[..., 0], it.uv[..., 1]
+    w0 = (1.0 - lu - lv)[..., None]
+    tri_uv = uvc[:, 1] * lu[..., None] + uvc[:, 2] * lv[..., None] \
+        + uvc[:, 0] * w0
+    u = jnp.where(is_sphere, lu, tri_uv[..., 0])
+    v = jnp.where(is_sphere, lv, tri_uv[..., 1])
+    return query_texture(table, it.obj_id, u, v)

@@ -1,0 +1,376 @@
+"""Scene compiler: host object model -> flat SoA device arrays.
+
+This is the host->device boundary of the framework. The XML parse produces
+numpy host records (bxdf/emitters/world/textures + ObjDescriptors); this
+module flattens them into `SceneData`, a registered pytree of jnp arrays laid
+out for the wavefront kernels:
+
+ * triangles carry a precomputed plane + dual-basis form (n, d, U, V, cu, cv)
+   so the hot ray/triangle test becomes two (N,3)@(3,T) matmuls on the MXU
+   (see ops/intersect.py) instead of a per-ray solve — the TPU-native
+   equivalent of the reference's matrix-inverse test (tracer_base.py:199-214);
+ * spheres live in their own SoA (the reference's padded-prim convention,
+   xml_parser.py:156-158, is preserved only in global prim indexing);
+ * materials / media / emitters become per-object and per-emitter tables
+   indexed by gathered ids at shading time.
+
+Static (shape-determining / python) configuration lives in `RenderConfig`,
+which is hashable and passed as a jit static argument.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..constants import SPHERE
+from ..ops.math3d import np_rotation_between, fov2focal
+
+
+def _register(cls):
+    fields = [f.name for f in dataclasses.fields(cls)]
+    jax.tree_util.register_dataclass(cls, data_fields=fields, meta_fields=[])
+    return cls
+
+
+@_register
+@dataclasses.dataclass
+class TextureTable:
+    """Per-object texture slots for one tag (albedo/normal/bump/roughness).
+
+    mode -255 marks 'no texture' (reference bxdf/texture.py:92-96)."""
+    mode: jnp.ndarray      # (O,) i32: 0 image, 1 checker, -255 invalid
+    off_x: jnp.ndarray     # (O,) i32 atlas offsets
+    off_y: jnp.ndarray
+    w: jnp.ndarray         # (O,) f32 native texture size
+    h: jnp.ndarray
+    scale_u: jnp.ndarray   # (O,) f32
+    scale_v: jnp.ndarray
+    c1: jnp.ndarray        # (O,3) checker colors
+    c2: jnp.ndarray
+    atlas: jnp.ndarray     # (S,S,3) packed atlas ((1,1,3) dummy if unused)
+
+
+@_register
+@dataclasses.dataclass
+class MediumTable:
+    """Per-object (or world) homogeneous-medium parameters."""
+    kind: jnp.ndarray      # (...,) i32 MediumTag
+    ior: jnp.ndarray       # (...,) f32
+    u_a: jnp.ndarray       # (...,3)
+    u_s: jnp.ndarray
+    u_e: jnp.ndarray
+    ph_par: jnp.ndarray    # (...,3) phase params
+    ph_pdf: jnp.ndarray    # (...,3) multi-HG lobe weights
+
+
+@_register
+@dataclasses.dataclass
+class SceneData:
+    """Flat device-side scene representation (all jnp arrays)."""
+    # --- triangles (T): matmul-intersector form ---
+    tri_gid: jnp.ndarray    # (T,) i32 global prim index
+    tri_obj: jnp.ndarray    # (T,) i32 owning object
+    tri_n: jnp.ndarray      # (T,3) unit plane normal
+    tri_d: jnp.ndarray      # (T,) plane offset dot(n, p0)
+    tri_U: jnp.ndarray      # (T,3) dual basis for barycentric u
+    tri_V: jnp.ndarray      # (T,3)
+    tri_cu: jnp.ndarray     # (T,) dot(U, p0)
+    tri_cv: jnp.ndarray     # (T,)
+    # --- spheres (S_) ---
+    sph_gid: jnp.ndarray    # (S_,) i32 global prim index
+    sph_obj: jnp.ndarray    # (S_,) i32
+    sph_center: jnp.ndarray  # (S_,3)
+    sph_radius: jnp.ndarray  # (S_,)
+    # --- global prim arrays (P = T + S_), reference-compatible layout ---
+    prim_ng: jnp.ndarray    # (P,3) geometric normals
+    prim_vn: jnp.ndarray    # (P,3,3) vertex normals (zeros when absent)
+    prim_uv: jnp.ndarray    # (P,3,2) uv coords
+    pre0: jnp.ndarray       # (P,3) e1 (tri) / center (sphere)
+    pre1: jnp.ndarray       # (P,3) e2 (tri) / radius row (sphere)
+    pre2: jnp.ndarray       # (P,3) p0 (tri) / zeros (sphere)
+    # --- objects (O) ---
+    obj_start: jnp.ndarray      # (O,) first global prim id
+    obj_cnt: jnp.ndarray        # (O,) prim count
+    obj_is_sphere: jnp.ndarray  # (O,) i32
+    obj_emitter: jnp.ndarray    # (O,) i32 emitter id or -1
+    obj_aabb_min: jnp.ndarray   # (O,3)
+    obj_aabb_max: jnp.ndarray   # (O,3)
+    # --- material table (O) ---
+    mat_type: jnp.ndarray     # (O,) i32 BRDFTag / BSDFTag
+    mat_is_bsdf: jnp.ndarray  # (O,) bool
+    mat_is_delta: jnp.ndarray  # (O,) bool
+    mat_kd: jnp.ndarray       # (O,3)
+    mat_ks: jnp.ndarray
+    mat_kg: jnp.ndarray
+    mat_mean: jnp.ndarray     # (O,3) channel means (mod-phong sampling)
+    medium: MediumTable       # (O,) attached media (transparent for BRDFs)
+    # --- emitters (E) ---
+    emit_kind: jnp.ndarray      # (E,) i32 EmitterTag
+    emit_intensity: jnp.ndarray  # (E,3)
+    emit_pos: jnp.ndarray       # (E,3)
+    emit_dir: jnp.ndarray       # (E,3)
+    emit_inv_area: jnp.ndarray  # (E,)
+    emit_r: jnp.ndarray         # (E,)
+    emit_bits: jnp.ndarray      # (E,) i32 bool_bits
+    emit_obj: jnp.ndarray       # (E,) i32 attached object or -1
+    emit_time: jnp.ndarray      # (E,)
+    # --- world ---
+    sky: jnp.ndarray            # (3,)
+    ambient: jnp.ndarray        # (3,)
+    world_medium: MediumTable   # scalar-shaped medium
+    # --- camera ---
+    cam_r: jnp.ndarray          # (3,3)
+    cam_t: jnp.ndarray          # (3,)
+    # --- textures ---
+    tex: dict                   # {tag: TextureTable}
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    """Hashable static render configuration (jit static argument)."""
+    w: int
+    h: int
+    focal: float
+    max_bounce: int = 8
+    num_shadow_ray: int = 1
+    use_rr: bool = True
+    rr_threshold: float = 0.1
+    rr_bounce_th: int = 4
+    use_mis: bool = True
+    anti_alias: bool = True
+    stratified_sampling: bool = True
+    brdf_two_sides: bool = False
+    has_v_normal: bool = False
+    # crop window (start_x, end_x, start_y, end_y) in reference convention
+    start_x: int = 0
+    end_x: int = 0
+    start_y: int = 0
+    end_y: int = 0
+    # which material/emitter kinds are present (prunes dead branches at trace)
+    brdf_types: tuple = ()
+    bsdf_types: tuple = ()
+    emitter_kinds: tuple = ()
+    n_emitters: int = 0
+    world_scattering: bool = False
+    transient: bool = False
+
+    @property
+    def n_pixels(self) -> int:
+        return self.w * self.h
+
+
+def _medium_table(mediums) -> MediumTable:
+    """Stack MediumRec host records into a MediumTable."""
+    def f(attr):
+        return jnp.asarray(np.stack([np.asarray(getattr(m, attr),
+                                                np.float32) for m in mediums]))
+    kind = jnp.asarray(np.array([m.type_id for m in mediums], np.int32))
+    ior = jnp.asarray(np.array([m.ior for m in mediums], np.float32))
+    return MediumTable(kind=kind, ior=ior, u_a=f("u_a"), u_s=f("u_s"),
+                       u_e=f("u_e"), ph_par=f("par"), ph_pdf=f("pdf"))
+
+
+def _texture_table(objects, recs, atlas) -> TextureTable:
+    """Build one tag's per-object texture table from host records."""
+    n = len(objects)
+    mode = np.full(n, -255, np.int32)
+    off_x = np.zeros(n, np.int32)
+    off_y = np.zeros(n, np.int32)
+    w = np.zeros(n, np.float32)
+    h = np.zeros(n, np.float32)
+    su = np.ones(n, np.float32)
+    sv = np.ones(n, np.float32)
+    c1 = np.zeros((n, 3), np.float32)
+    c2 = np.zeros((n, 3), np.float32)
+    for i, rec in enumerate(recs):
+        if rec is None:
+            continue
+        mode[i] = rec.mode
+        off_x[i], off_y[i] = rec.off_x, rec.off_y
+        w[i], h[i] = rec.w, rec.h
+        su[i], sv[i] = rec.scale_u, rec.scale_v
+        c1[i], c2[i] = rec.c1, rec.c2
+    if atlas is None:
+        atlas = np.zeros((1, 1, 3), np.float32)
+    return TextureTable(mode=jnp.asarray(mode), off_x=jnp.asarray(off_x),
+                        off_y=jnp.asarray(off_y), w=jnp.asarray(w),
+                        h=jnp.asarray(h), scale_u=jnp.asarray(su),
+                        scale_v=jnp.asarray(sv), c1=jnp.asarray(c1),
+                        c2=jnp.asarray(c2), atlas=jnp.asarray(atlas))
+
+
+def compile_scene(emitters, array_info, objects, configs):
+    """Assemble (SceneData, RenderConfig) from parsed host structures."""
+    prims = array_info["primitives"]            # (P,3,3)
+    n_g = array_info["n_g"]
+    n_s = array_info["n_s"]
+    uvs = array_info["uvs"]
+    sphere_ids = array_info["indices"]
+    sphere_set = set(sphere_ids.tolist()) if sphere_ids is not None else set()
+    P = prims.shape[0]
+
+    # global prim -> object map
+    prim_obj = np.zeros(P, np.int32)
+    obj_start = np.zeros(len(objects), np.int32)
+    obj_cnt = np.zeros(len(objects), np.int32)
+    obj_is_sphere = np.zeros(len(objects), np.int32)
+    acc = 0
+    for i, obj in enumerate(objects):
+        obj_start[i] = acc
+        obj_cnt[i] = obj.tri_num
+        obj_is_sphere[i] = int(obj.type == SPHERE)
+        prim_obj[acc:acc + obj.tri_num] = i
+        acc += obj.tri_num
+
+    tri_ids = np.array([p for p in range(P) if p not in sphere_set], np.int64)
+    sph_ids = np.array(sorted(sphere_set), np.int64)
+
+    # --- triangle matmul-intersector precompute ---
+    tv = prims[tri_ids]                          # (T,3,3)
+    p0, e1, e2 = tv[:, 0], tv[:, 1] - tv[:, 0], tv[:, 2] - tv[:, 0]
+    m = np.cross(e1, e2)                         # unnormalized normal
+    m2 = np.maximum((m * m).sum(-1, keepdims=True), 1e-20)
+    n_unit = m / np.sqrt(m2)
+    U = np.cross(e2, m) / m2
+    V = np.cross(m, e1) / m2
+
+    # --- reference-layout precomputed edge vectors (pre0/1/2) ---
+    pre0 = prims[:, 1] - prims[:, 0]
+    pre1 = prims[:, 2] - prims[:, 0]
+    pre2 = prims[:, 0].copy()
+    if sph_ids.size:
+        pre0[sph_ids] = prims[sph_ids, 0]        # center
+        pre1[sph_ids] = prims[sph_ids, 1]        # radius row
+        pre2[sph_ids] = 0.0
+
+    # --- camera ---
+    cam_orient = configs["transform"][0].astype(np.float32)
+    cam_orient /= np.linalg.norm(cam_orient)
+    cam_t = configs["transform"][1].astype(np.float32)
+    cam_r = np_rotation_between(np.float32([0, 0, 1]), cam_orient)
+
+    film = configs["film"]
+    w, h = film["width"], film["height"]
+    crop_x, crop_y = film.get("crop_x", 0), film.get("crop_y", 0)
+    crop_rx, crop_ry = film.get("crop_rx", 0), film.get("crop_ry", 0)
+    do_crop = crop_rx > 0 and crop_ry > 0
+    if do_crop:
+        sx, ex = crop_x - crop_rx, crop_x + crop_rx
+        sy, ey = crop_y - crop_ry, crop_y + crop_ry
+    else:
+        sx, ex, sy, ey = 0, w, 0, h
+
+    world = configs["world"]
+    mats = [obj.bxdf for obj in objects]
+
+    cfg = RenderConfig(
+        w=w, h=h, focal=fov2focal(configs["fov"], min(w, h)),
+        max_bounce=configs.get("max_bounce", 8),
+        num_shadow_ray=configs.get("num_shadow_ray", 1),
+        use_rr=bool(configs.get("use_rr", True)),
+        rr_threshold=float(configs.get("rr_threshold", 0.1)),
+        rr_bounce_th=int(configs.get("rr_bounce_th", 4)),
+        use_mis=bool(configs.get("use_mis", True)),
+        anti_alias=bool(configs.get("anti_alias", True)),
+        stratified_sampling=bool(configs.get("stratified_sampling", True)),
+        brdf_two_sides=bool(configs.get("brdf_two_sides", False)),
+        has_v_normal=bool(configs.get("has_vertex_normal", False)),
+        start_x=sx, end_x=ex, start_y=sy, end_y=ey,
+        brdf_types=tuple(sorted({m.type_id for m in mats if not m.is_bsdf})),
+        bsdf_types=tuple(sorted({m.type_id for m in mats if m.is_bsdf})),
+        emitter_kinds=tuple(sorted({e.kind for e in emitters})),
+        n_emitters=len(emitters),
+        world_scattering=world.medium.is_scattering,
+    )
+
+    aabbs = np.stack([obj.aabb for obj in objects])  # (O,2,3)
+
+    tex_tables = {}
+    packed = configs.get("packed_textures") or {}
+    for tag in ("albedo", "normal", "bump", "roughness"):
+        recs = [obj.texture_group.get(tag) for obj in objects]
+        atlas = packed.get(tag) if packed else None
+        tex_tables[tag] = _texture_table(objects, recs, atlas)
+
+    scene = SceneData(
+        tri_gid=jnp.asarray(tri_ids.astype(np.int32)),
+        tri_obj=jnp.asarray(prim_obj[tri_ids]),
+        tri_n=jnp.asarray(n_unit.astype(np.float32)),
+        tri_d=jnp.asarray((n_unit * p0).sum(-1).astype(np.float32)),
+        tri_U=jnp.asarray(U.astype(np.float32)),
+        tri_V=jnp.asarray(V.astype(np.float32)),
+        tri_cu=jnp.asarray((U * p0).sum(-1).astype(np.float32)),
+        tri_cv=jnp.asarray((V * p0).sum(-1).astype(np.float32)),
+        sph_gid=jnp.asarray(sph_ids.astype(np.int32)),
+        sph_obj=jnp.asarray(prim_obj[sph_ids] if sph_ids.size
+                            else np.zeros(0, np.int32)),
+        sph_center=jnp.asarray(prims[sph_ids, 0] if sph_ids.size
+                               else np.zeros((0, 3), np.float32)),
+        sph_radius=jnp.asarray(prims[sph_ids, 1, 0] if sph_ids.size
+                               else np.zeros(0, np.float32)),
+        prim_ng=jnp.asarray(n_g),
+        prim_vn=jnp.asarray(n_s),
+        prim_uv=jnp.asarray(uvs),
+        pre0=jnp.asarray(pre0.astype(np.float32)),
+        pre1=jnp.asarray(pre1.astype(np.float32)),
+        pre2=jnp.asarray(pre2.astype(np.float32)),
+        obj_start=jnp.asarray(obj_start),
+        obj_cnt=jnp.asarray(obj_cnt),
+        obj_is_sphere=jnp.asarray(obj_is_sphere),
+        obj_emitter=jnp.asarray(
+            np.array([obj.emitter_ref_id for obj in objects], np.int32)),
+        obj_aabb_min=jnp.asarray(aabbs[:, 0]),
+        obj_aabb_max=jnp.asarray(aabbs[:, 1]),
+        mat_type=jnp.asarray(np.array([m.type_id for m in mats], np.int32)),
+        mat_is_bsdf=jnp.asarray(np.array([m.is_bsdf for m in mats], bool)),
+        mat_is_delta=jnp.asarray(np.array([m.is_delta for m in mats], bool)),
+        mat_kd=jnp.asarray(np.stack([m.k_d for m in mats]).astype(np.float32)),
+        mat_ks=jnp.asarray(np.stack([m.k_s for m in mats]).astype(np.float32)),
+        mat_kg=jnp.asarray(np.stack([m.k_g for m in mats]).astype(np.float32)),
+        mat_mean=jnp.asarray(np.stack([m.mean for m in mats])),
+        medium=_medium_table([m.medium for m in mats]),
+        emit_kind=jnp.asarray(np.array([e.kind for e in emitters], np.int32)),
+        emit_intensity=jnp.asarray(
+            np.stack([e.intensity for e in emitters]).astype(np.float32)),
+        emit_pos=jnp.asarray(np.stack([e.pos for e in emitters])
+                             .astype(np.float32)),
+        emit_dir=jnp.asarray(np.stack([e.dir for e in emitters])
+                             .astype(np.float32)),
+        emit_inv_area=jnp.asarray(
+            np.array([e.inv_area for e in emitters], np.float32)),
+        emit_r=jnp.asarray(np.array([e.r for e in emitters], np.float32)),
+        emit_bits=jnp.asarray(np.array([e.bool_bits for e in emitters],
+                                       np.int32)),
+        emit_obj=jnp.asarray(_emitter_obj_refs(emitters, objects)),
+        emit_time=jnp.asarray(np.array([e.emit_time for e in emitters],
+                                       np.float32)),
+        sky=jnp.asarray(world.skybox),
+        ambient=jnp.asarray(world.ambient),
+        world_medium=_medium_table([world.medium]),
+        cam_r=jnp.asarray(cam_r),
+        cam_t=jnp.asarray(cam_t),
+        tex=tex_tables,
+    )
+    return scene, cfg
+
+
+def _emitter_obj_refs(emitters, objects) -> np.ndarray:
+    """Emitter -> attached-object back references
+    (reference path_tracer.py:245-274)."""
+    refs = np.full(len(emitters), -1, np.int32)
+    for i, obj in enumerate(objects):
+        if obj.emitter_ref_id >= 0:
+            refs[obj.emitter_ref_id] = i
+    return refs
+
+
+def load_scene(directory: str, file: str):
+    """Parse + compile a scene in one call."""
+    from ..parsers.xml_parser import scene_parsing
+    emitters, array_info, objects, configs = scene_parsing(directory, file)
+    scene, cfg = compile_scene(emitters, array_info, objects, configs)
+    return scene, cfg, configs
