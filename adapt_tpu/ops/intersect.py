@@ -83,15 +83,26 @@ def _tri_chunks(scene, chunk: int):
             prep(scene.tri_gid, -1))
 
 
+def _pair_dots(a, b):
+    """Exact all-pairs f32 dot products: (N,3)x(C,3) -> (N,C).
+
+    Deliberately NOT a matmul: with K=3 the MXU does no useful work
+    (3 of 128 systolic rows), and both the TPU MXU (bf16 passes) and some
+    CPU backends compute f32 GEMMs at reduced precision, which breaks
+    geometric predicates (false self-intersections at RAY_EPS scale).
+    The expanded mul+sum stays on the VPU in exact f32 and XLA fuses the
+    broadcast into the reduction, so nothing (N,C,3) is materialized."""
+    return (a[:, None, :] * b[None, :, :]).sum(-1)
+
+
 def _tri_hit_chunk(ray_o, ray_d, tn, td, tU, tV, tcu, tcv):
     """All-pairs triangle test for one chunk; returns (t, u, v, valid)."""
-    # The two MXU matmuls: (N,3)@(3,C) with n/U/V stacked on the C axis.
-    g = jnp.concatenate([tn, tU, tV], axis=0)          # (3C, 3)
-    og = ray_o @ g.T                                    # (N, 3C)
-    dg = ray_d @ g.T
-    C = tn.shape[0]
-    o_n, o_u, o_v = og[:, :C], og[:, C:2 * C], og[:, 2 * C:]
-    d_n, d_u, d_v = dg[:, :C], dg[:, C:2 * C], dg[:, 2 * C:]
+    o_n = _pair_dots(ray_o, tn)
+    o_u = _pair_dots(ray_o, tU)
+    o_v = _pair_dots(ray_o, tV)
+    d_n = _pair_dots(ray_d, tn)
+    d_u = _pair_dots(ray_d, tU)
+    d_v = _pair_dots(ray_d, tV)
     denom = jnp.where(jnp.abs(d_n) < 1e-12, 1e-12, d_n)
     t = (td[None, :] - o_n) / denom
     u = o_u + t * d_u - tcu[None, :]

@@ -35,6 +35,15 @@ def render_pass_pt(scene, cfg, key, cnt):
     """One progressive sample for every pixel; returns (N, 3) radiance."""
     key, cam_key = jax.random.split(key)
     ray_o, ray_d = camera_rays(scene, cfg, cam_key, cnt)
+    color = trace_pt(scene, cfg, key, ray_o, ray_d)
+    mask = crop_mask(cfg)
+    if mask is not None:
+        color = jnp.where(mask[..., None], color, 0.0)
+    return color
+
+
+def trace_pt(scene, cfg, key, ray_o, ray_d):
+    """Trace a (N,3) ray wavefront through the full bounce pipeline."""
     N = ray_o.shape[0]
     world_ior = scene.world_medium.ior[0]
 
@@ -151,11 +160,7 @@ def render_pass_pt(scene, cfg, key, cnt):
                     is_specular=is_specular)
 
     final = jax.lax.fori_loop(0, cfg.max_bounce, bounce, init)
-    color = final["color"]
-    mask = crop_mask(cfg)
-    if mask is not None:
-        color = jnp.where(mask[..., None], color, 0.0)
-    return color
+    return final["color"]
 
 
 class Renderer(ProgressiveRenderer):

@@ -13,5 +13,7 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 SCENE_DIR = os.path.join(os.path.dirname(__file__), "..", "scenes")
