@@ -1,0 +1,114 @@
+"""Multi-chip SPMD rendering over a jax.sharding.Mesh.
+
+The reference has no distributed runtime at all (SURVEY.md §2.22: one Taichi
+megakernel on one GPU). The TPU-native scale-out is SPMD over ICI:
+
+  * mesh axis 'px'  — the pixel wavefront is sharded across chips (each chip
+    traces its own slice of the film; the scene is replicated);
+  * mesh axis 'spp' — independent sample batches per chip, combined with a
+    single `pmean` over the framebuffer (the only collective in the system,
+    riding ICI).
+
+Both axes are embarrassingly parallel, so scaling is linear; the collective
+moves W*H*3 floats once per (spp-group) pass.
+"""
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+
+def make_mesh(n_devices: int | None = None, spp_parallel: int | None = None,
+              devices=None) -> Mesh:
+    """Build an ('spp', 'px') mesh over the first n_devices devices.
+
+    spp_parallel defaults to the largest power of two <= sqrt(n)."""
+    if devices is None:
+        devices = jax.devices()
+    if n_devices is None:
+        n_devices = len(devices)
+    devices = np.asarray(devices[:n_devices])
+    if spp_parallel is None:
+        spp_parallel = 1 << (int(math.isqrt(n_devices)).bit_length() - 1)
+        while n_devices % spp_parallel:
+            spp_parallel //= 2
+    if n_devices % spp_parallel:
+        raise ValueError(f"{n_devices=} not divisible by {spp_parallel=}")
+    return Mesh(devices.reshape(spp_parallel, n_devices // spp_parallel),
+                ("spp", "px"))
+
+
+def render_pass_multichip(scene, cfg, mesh: Mesh, trace_fn):
+    """Build a jitted multi-chip progressive pass.
+
+    trace_fn(scene, cfg, key, ray_o, ray_d) -> (N,3) is any single-chip
+    wavefront tracer (renderer/pt.py trace_pt etc.). Returns
+    step(scene, key, cnt) -> (n_pixels, 3) radiance averaged over the
+    mesh's spp axis and sharded over its px axis.
+    """
+    from ..renderer.base import camera_rays
+
+    n_px = mesh.shape["px"]
+    n_spp = mesh.shape["spp"]
+    if cfg.n_pixels % n_px:
+        raise ValueError(f"n_pixels={cfg.n_pixels} not divisible by "
+                         f"px-axis size {n_px}")
+    shard_n = cfg.n_pixels // n_px
+
+    def _shard_fn(scene, key, cnt):
+        spp_i = jax.lax.axis_index("spp")
+        px_i = jax.lax.axis_index("px")
+        k = jax.random.fold_in(key, spp_i)
+        k = jax.random.fold_in(k, px_i)
+        k_cam, k_trace = jax.random.split(k)
+        pix = px_i * shard_n + jnp.arange(shard_n, dtype=jnp.int32)
+        ray_o, ray_d = camera_rays(scene, cfg, k_cam, cnt, pix_ids=pix)
+        color = trace_fn(scene, cfg, k_trace, ray_o, ray_d)
+        # the one collective: average the spp groups' framebuffers over ICI
+        return jax.lax.pmean(color, "spp")
+
+    step = shard_map(_shard_fn, mesh=mesh,
+                     in_specs=(P(), P(), P()),
+                     out_specs=P("px"),
+                     check_rep=False)
+    return jax.jit(step)
+
+
+class MultiChipRenderer:
+    """Progressive renderer running one pass per step on every mesh device.
+
+    Each host-level render() adds mesh.shape['spp'] samples per pixel."""
+
+    def __init__(self, scene, cfg, mesh: Mesh, trace_fn=None, seed: int = 0):
+        if trace_fn is None:
+            from ..renderer.pt import trace_pt
+            trace_fn = trace_pt
+        self.scene = scene
+        self.cfg = cfg
+        self.mesh = mesh
+        self.key = jax.random.PRNGKey(seed)
+        self.color = jnp.zeros((cfg.n_pixels, 3), jnp.float32)
+        self.cnt = 0
+        self._step = render_pass_multichip(scene, cfg, mesh, trace_fn)
+
+    def render(self):
+        self.cnt += self.mesh.shape["spp"]
+        self.key, sub = jax.random.split(self.key)
+        radiance = self._step(self.scene, sub, jnp.int32(self.cnt))
+        self.color = self.color + jnp.nan_to_num(radiance, nan=0.0) \
+            * self.mesh.shape["spp"]
+        return self.color
+
+    @property
+    def pixels(self):
+        return (self.color / max(self.cnt, 1)).reshape(
+            self.cfg.w, self.cfg.h, 3)
+
+    def image(self):
+        return np.asarray(jnp.swapaxes(self.pixels, 0, 1))[::-1]

@@ -17,16 +17,23 @@ _EPS = 1e-4
 _INV_EPS = 1.0 - 2.0 * _EPS
 
 
-def camera_rays(scene, cfg, key, cnt):
+def camera_rays(scene, cfg, key, cnt, pix_ids=None):
     """Generate one primary ray per pixel; returns (ray_o, ray_d) of (N,3).
 
     Pixel layout is x-major: flat index = i * h + j with i in [0,w) (x) and
     j in [0,h) (y), matching the reference's (w, h) pixel field. The pinhole
-    model and jitter modes mirror tracer_base.py:136-157."""
+    model and jitter modes mirror tracer_base.py:136-157.
+
+    pix_ids: optional (N,) flat pixel indices to generate rays for a pixel
+    shard only (multi-chip path, parallel/sharding.py); default all pixels."""
     w, h = cfg.w, cfg.h
-    i = jax.lax.broadcasted_iota(jnp.float32, (w, h), 0).reshape(-1)
-    j = jax.lax.broadcasted_iota(jnp.float32, (w, h), 1).reshape(-1)
-    n = w * h
+    if pix_ids is None:
+        i = jax.lax.broadcasted_iota(jnp.float32, (w, h), 0).reshape(-1)
+        j = jax.lax.broadcasted_iota(jnp.float32, (w, h), 1).reshape(-1)
+    else:
+        i = (pix_ids // h).astype(jnp.float32)
+        j = (pix_ids % h).astype(jnp.float32)
+    n = i.shape[0]
     if cfg.anti_alias:
         u = jax.random.uniform(key, (n, 2))
         if cfg.stratified_sampling:

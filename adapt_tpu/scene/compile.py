@@ -156,7 +156,25 @@ class RenderConfig:
     emitter_kinds: tuple = ()
     n_emitters: int = 0
     world_scattering: bool = False
-    transient: bool = False
+    # SSAO (reference renderer/ssao.py:36-38)
+    smp_hemisphere: int = 32
+    depth_samples: int = 64
+    sample_extent: float = 0.1
+    # BDPT strategy ranges (reference bdpt.py / cbox.xml sensor block)
+    start_t: int = 1
+    end_t: int = 100
+    start_s: int = 0
+    end_s: int = 100
+    # transient rendering (reference bdpt.py:40-47,95-108)
+    decomposition: str = "none"     # none | transient_cam | transient_lit
+    t_bins: int = 0                 # number of time bins
+    t_min: float = 0.0
+    t_interval: float = 1.0
+    sol: float = 1.0                # world speed of light (world.py:47)
+
+    @property
+    def transient(self) -> bool:
+        return self.decomposition != "none" and self.t_bins > 0
 
     @property
     def n_pixels(self) -> int:
@@ -285,6 +303,19 @@ def compile_scene(emitters, array_info, objects, configs):
         emitter_kinds=tuple(sorted({e.kind for e in emitters})),
         n_emitters=len(emitters),
         world_scattering=world.medium.is_scattering,
+        smp_hemisphere=int(configs.get("smp_hemisphere", 32)),
+        depth_samples=int(configs.get("depth_samples", 64)),
+        sample_extent=float(configs.get("sample_extent", 0.1)),
+        start_t=int(configs.get("start_t", 1)),
+        end_t=int(configs.get("end_t", 100)),
+        start_s=int(configs.get("start_s", 0)),
+        end_s=int(configs.get("end_s", 100)),
+        decomposition=str(configs.get("decomposition", "none")),
+        t_bins=int(configs.get("sample_count", 0))
+        if "decomposition" in configs else 0,
+        t_min=float(configs.get("min_time", 0.0)),
+        t_interval=float(configs.get("interval", 1.0)),
+        sol=float(world.C),
     )
 
     aabbs = np.stack([obj.aabb for obj in objects])  # (O,2,3)

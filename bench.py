@@ -1,0 +1,60 @@
+"""Benchmark: wavefront PT throughput on cornell-box 512^2 (BASELINE.json).
+
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+Runs on the real TPU chip when available (default JAX platform); baseline is
+the driver's north-star target of 100 Mrays/s on 1x TPU v5e.
+
+Ray accounting: every pass casts, per pixel, 1 primary ray plus per bounce
+(num_shadow_ray shadow rays + 1 continuation ray). The wavefront executes
+all lanes each bounce, so this is also the true computational ray count.
+"""
+import dataclasses
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BASELINE_MRAYS = 100.0
+
+
+def main():
+    import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.expanduser("~/.cache/adapt_tpu_jax"))
+    import jax.numpy as jnp
+    from adapt_tpu.scene.compile import load_scene
+    from adapt_tpu.renderer.pt import render_pass_pt
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    scene, cfg, _ = load_scene(os.path.join(here, "scenes", "cbox"),
+                               "cbox.xml")
+    cfg = dataclasses.replace(cfg, max_bounce=8)
+
+    key = jax.random.PRNGKey(0)
+    # compile + warmup
+    out = render_pass_pt(scene, cfg, key, jnp.int32(1))
+    jax.block_until_ready(out)
+
+    iters = int(os.environ.get("BENCH_ITERS", "16"))
+    t0 = time.perf_counter()
+    for i in range(iters):
+        key, sub = jax.random.split(key)
+        out = render_pass_pt(scene, cfg, sub, jnp.int32(i + 2))
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+
+    rays_per_pass = cfg.n_pixels * (
+        1 + cfg.max_bounce * (cfg.num_shadow_ray + 1))
+    mrays = rays_per_pass * iters / dt / 1e6
+    print(json.dumps({
+        "metric": "pt_cbox512_throughput",
+        "value": round(mrays, 3),
+        "unit": "Mrays/s",
+        "vs_baseline": round(mrays / BASELINE_MRAYS, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()
