@@ -1,0 +1,104 @@
+"""Native (C++) components loaded over a plain C ABI via ctypes.
+
+Replaces the reference's pybind11 extensions (tracer/bvh/bvh.cpp,
+bxdf/vol_loader/vol2numpy.cpp) with a single shared library built by the
+Makefile in this directory. Every entry point has a pure-numpy fallback so
+the framework works (slower) without the native build.
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_LIB_PATH = os.path.join(_DIR, "libadapt_native.so")
+_lib = None
+
+
+def _build():
+    try:
+        subprocess.run(["make", "-C", _DIR, "-s"], check=True,
+                       capture_output=True)
+        return True
+    except (subprocess.CalledProcessError, FileNotFoundError):
+        return False
+
+
+def get_lib():
+    """Load (building on first use) the native library, or None."""
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not os.path.exists(_LIB_PATH) and not _build():
+        return None
+    try:
+        _lib = ctypes.CDLL(_LIB_PATH)
+    except OSError:
+        return None
+    _lib.vol_read_header.argtypes = [ctypes.c_char_p,
+                                     ctypes.POINTER(ctypes.c_int32)]
+    _lib.vol_read.argtypes = [ctypes.c_char_p,
+                              ctypes.POINTER(ctypes.c_float), ctypes.c_int]
+    return _lib
+
+
+def vol_file_to_numpy(path: str, force_mono: bool = False) -> np.ndarray:
+    """Read a mitsuba3 .vol into (Z, Y, X, 3) float32 (or (Z, Y, X) mono).
+
+    Native fast path with a numpy fallback (same contract as reference
+    vol2numpy.cpp:124-131)."""
+    lib = get_lib()
+    if lib is not None:
+        dims = (ctypes.c_int32 * 4)()
+        rc = lib.vol_read_header(path.encode(), dims)
+        if rc != 0:
+            raise ValueError(f"bad .vol file '{path}' (error {rc})")
+        x, y, z, _c = dims[0], dims[1], dims[2], dims[3]
+        if force_mono:
+            out = np.empty(z * y * x, np.float32)
+        else:
+            out = np.empty(z * y * x * 3, np.float32)
+        rc = lib.vol_read(path.encode(),
+                          out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                          int(force_mono))
+        if rc != 0:
+            raise ValueError(f".vol payload read failed ({rc})")
+        return out.reshape((z, y, x) if force_mono else (z, y, x, 3))
+    return _vol_numpy_fallback(path, force_mono)
+
+
+def _vol_numpy_fallback(path: str, force_mono: bool) -> np.ndarray:
+    with open(path, "rb") as f:
+        magic = f.read(4)
+        if magic[:3] != b"VOL" or magic[3] != 3:
+            raise ValueError(f"bad .vol magic in '{path}'")
+        enc = np.frombuffer(f.read(4), np.int32)[0]
+        if enc != 1:
+            raise ValueError("only float32 encoding (1) supported")
+        x, y, z, c = np.frombuffer(f.read(16), np.int32)
+        if c not in (1, 3, 6):
+            raise ValueError(f"unsupported channel count {c}")
+        f.read(24)  # bbox
+        data = np.frombuffer(f.read(4 * x * y * z * c),
+                             np.float32).reshape(z, y, x, c)
+    if force_mono:
+        return np.ascontiguousarray(data[..., 0])
+    if c == 1:
+        return np.repeat(data, 3, axis=-1)
+    return np.ascontiguousarray(data[..., :3])
+
+
+def write_vol(path: str, grid: np.ndarray) -> None:
+    """Write a (Z, Y, X) or (Z, Y, X, C) float32 grid as mitsuba3 .vol
+    (test fixture / asset tooling)."""
+    if grid.ndim == 3:
+        grid = grid[..., None]
+    z, y, x, c = grid.shape
+    with open(path, "wb") as f:
+        f.write(b"VOL\x03")
+        np.array([1, x, y, z, c], np.int32).tofile(f)
+        np.array([0, 0, 0, 1, 1, 1], np.float32).tofile(f)  # bbox
+        grid.astype(np.float32).tofile(f)

@@ -1,0 +1,205 @@
+"""Heterogeneous grid-volume transport: delta/ratio tracking (device side).
+
+Wavefront equivalents of the reference's per-ray stochastic loops
+(bxdf/volume.py:263-463): spectral single-channel selection by
+throughput-weighted majorant pdf, majorant-exponential free-flight stepping,
+stochastic nearest-neighbor density lookups, and ratio-tracking
+transmittance with Russian-roulette termination.
+
+The unbounded per-ray while-loops become one batched lax.while_loop that
+runs until every lane is done (hard-capped at MAX_STEPS, generous enough
+that the residual bias is below f32 noise for shipped majorants). Per-step
+randomness comes from folding the step counter into a base key, so lanes
+stay independent without carrying per-lane key state.
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from ..constants import VolumeTag
+
+MAX_STEPS = 1024
+
+
+def _register(cls):
+    fields = [f.name for f in dataclasses.fields(cls)]
+    jax.tree_util.register_dataclass(cls, data_fields=fields, meta_fields=[])
+    return cls
+
+
+@_register
+@dataclasses.dataclass
+class GridVolumeData:
+    """Device-side grid volume (reference volume.py:239-261).
+
+    The kind tag lives in RenderConfig (static) so absent volumes compile
+    to nothing."""
+    grid: jnp.ndarray       # (Z, Y, X, 3) density
+    albedo: jnp.ndarray     # (3,)
+    inv_T: jnp.ndarray      # (3,3) world -> index space
+    trans: jnp.ndarray      # (3,) translation
+    mini: jnp.ndarray       # (3,) world AABB
+    maxi: jnp.ndarray
+    majorant: jnp.ndarray   # (3,)
+    pdf: jnp.ndarray        # (3,) majorant / sum
+    ph_par: jnp.ndarray     # (3,) phase params
+    ph_pdf: jnp.ndarray     # (3,) multi-HG lobe weights
+
+
+def dummy_volume() -> GridVolumeData:
+    z3 = jnp.zeros(3, jnp.float32)
+    return GridVolumeData(
+        grid=jnp.zeros((1, 1, 1, 3), jnp.float32), albedo=jnp.ones(3),
+        inv_T=jnp.eye(3), trans=z3, mini=z3, maxi=z3,
+        majorant=jnp.ones(3), pdf=jnp.full(3, 1 / 3), ph_par=z3,
+        ph_pdf=jnp.array([1.0, 0.0, 0.0]))
+
+
+def compile_volume(rec) -> GridVolumeData:
+    """Host GridVolumeRec -> device arrays."""
+    import numpy as np
+    mini, maxi = rec.world_aabb()
+    maj = rec.majorant()
+    return GridVolumeData(
+        grid=jnp.asarray(rec.density_grid),
+        albedo=jnp.asarray(rec.albedo),
+        inv_T=jnp.asarray(rec.inv_T),
+        trans=jnp.asarray(rec.offset),
+        mini=jnp.asarray(mini.astype(np.float32)),
+        maxi=jnp.asarray(maxi.astype(np.float32)),
+        majorant=jnp.asarray(maj),
+        pdf=jnp.asarray(maj / maj.sum()),
+        ph_par=jnp.asarray(rec.par),
+        ph_pdf=jnp.asarray(rec.phase_pdf))
+
+
+def intersect_volume(vol, ray_o, ray_d, max_t):
+    """Ray/AABB slab test -> (near, far) (reference volume.py:267-281)."""
+    safe_d = jnp.where(jnp.abs(ray_d) < 1e-9, 1e-9, ray_d)
+    t1 = (vol.mini[None, :] - ray_o) / safe_d
+    t2 = (vol.maxi[None, :] - ray_o) / safe_d
+    near = jnp.maximum(0.0, jnp.minimum(t1, t2).max(-1)) + 1e-5
+    far = jnp.minimum(max_t, jnp.maximum(t1, t2).min(-1)) - 1e-5
+    return near, far
+
+
+def _to_local(vol, ray_o, ray_d):
+    o = (ray_o - vol.trans[None, :]) @ vol.inv_T.T
+    d = ray_d @ vol.inv_T.T
+    return o, d
+
+
+def _density_lookup(vol, pos, u3):
+    """Stochastic nearest-neighbor density (reference volume.py:307-314)."""
+    idx = jnp.floor(pos + (u3 - 0.5)).astype(jnp.int32)
+    Z, Y, X = vol.grid.shape[0], vol.grid.shape[1], vol.grid.shape[2]
+    ok = ((idx >= 0).all(-1) & (idx[..., 0] <= X - 1)
+          & (idx[..., 1] <= Y - 1) & (idx[..., 2] <= Z - 1))
+    ci = jnp.clip(idx, 0, jnp.array([X - 1, Y - 1, Z - 1]))
+    val = vol.grid[ci[..., 2], ci[..., 1], ci[..., 0]]
+    return jnp.where(ok[..., None], val, 0.0)
+
+
+def _pick_channel(vol, thp, u):
+    """Throughput-weighted spectral channel pick
+    (reference volume.py:352-375); returns (channel, pdf, majorant)."""
+    pdfs = thp * vol.pdf[None, :]
+    pdfs = pdfs / jnp.maximum(pdfs.sum(-1, keepdims=True), 1e-12)
+    cdf0 = pdfs[:, 0]
+    cdf1 = cdf0 + pdfs[:, 1]
+    ch = (u > cdf0).astype(jnp.int32) + (u > cdf1).astype(jnp.int32)
+    pdf = jnp.take_along_axis(pdfs, ch[:, None], 1)[:, 0]
+    maj = vol.majorant[ch]
+    return ch, pdf, maj
+
+
+def _one_hot_tr(kind, tr, pdf, ch):
+    """Mono -> uniform Tr; RGB -> one-hot Tr/pdf (volume.py:391-401)."""
+    if kind == VolumeTag.RGB:
+        oh = jax.nn.one_hot(ch, 3, dtype=jnp.float32)
+        return oh * (tr / jnp.maximum(pdf, 1e-12))[:, None]
+    return jnp.broadcast_to(tr[:, None], (tr.shape[0], 3))
+
+
+def sample_distance_delta_tracking(vol, kind, key, ray_o, ray_d, thp, max_t):
+    """Spectral delta-tracking distance sample (volume.py:346-402).
+
+    Returns (t, beta): t = collision distance or -1 (no volume event);
+    beta multiplies throughput only where t > 0."""
+    N = ray_o.shape[0]
+    near, far = intersect_volume(vol, ray_o, ray_d, max_t)
+    lo, ld = _to_local(vol, ray_o, ray_d)
+    key, k_ch, k_t0 = jax.random.split(key, 3)
+    u_ch = jax.random.uniform(k_ch, (N,))
+    ch, pdf, maj = _pick_channel(vol, thp, u_ch)
+    inv_maj = 1.0 / maj
+    albedo = vol.albedo[ch]
+
+    t0 = near - jnp.log(1.0 - jax.random.uniform(k_t0, (N,))) * inv_maj
+    valid = (near < far) & (far > 0.0)
+    state = dict(t=t0, tr=jnp.ones((N,), jnp.float32),
+                 hit_t=jnp.full((N,), -1.0),
+                 done=~valid | (t0 >= far), step=jnp.int32(0))
+
+    def cond(st):
+        return (~jnp.all(st["done"])) & (st["step"] < MAX_STEPS)
+
+    def body(st):
+        k = jax.random.fold_in(key, st["step"])
+        u = jax.random.uniform(k, (N, 5))
+        d = _density_lookup(vol, lo + st["t"][:, None] * ld, u[:, :3])
+        n_t = jnp.take_along_axis(d, ch[:, None], 1)[:, 0]
+        collide = (~st["done"]) & (u[:, 3] < n_t * inv_maj)
+        hit_t = jnp.where(collide, st["t"], st["hit_t"])
+        tr = jnp.where(collide, st["tr"] * albedo, st["tr"])
+        t = st["t"] - jnp.log(1.0 - u[:, 4]) * inv_maj
+        done = st["done"] | collide | (t >= far)
+        return dict(t=t, tr=tr, hit_t=hit_t, done=done, step=st["step"] + 1)
+
+    st = jax.lax.while_loop(cond, body, state)
+    beta = _one_hot_tr(kind, st["tr"], pdf, ch)
+    has_hit = st["hit_t"] > 0.0
+    beta = jnp.where(has_hit[:, None], beta, 1.0)
+    return st["hit_t"], beta
+
+
+def eval_tr_ratio_tracking(vol, kind, key, ray_o, ray_d, thp, max_t):
+    """Spectral ratio-tracking transmittance (volume.py:404-463)."""
+    N = ray_o.shape[0]
+    near, far = intersect_volume(vol, ray_o, ray_d, max_t)
+    lo, ld = _to_local(vol, ray_o, ray_d)
+    key, k_ch = jax.random.split(key)
+    u_ch = jax.random.uniform(k_ch, (N,))
+    ch, pdf, maj = _pick_channel(vol, thp, u_ch)
+    inv_maj = 1.0 / maj
+
+    valid = (near < far) & (far > 0.0)
+    state = dict(t=near, tr=jnp.ones((N,), jnp.float32), done=~valid,
+                 step=jnp.int32(0))
+
+    def cond(st):
+        return (~jnp.all(st["done"])) & (st["step"] < MAX_STEPS)
+
+    def body(st):
+        k = jax.random.fold_in(key, st["step"])
+        u = jax.random.uniform(k, (N, 5))
+        t = st["t"] - jnp.log(1.0 - u[:, 4]) * inv_maj
+        exited = t >= far
+        d = _density_lookup(vol, lo + t[:, None] * ld, u[:, :3])
+        n_t = jnp.take_along_axis(d, ch[:, None], 1)[:, 0]
+        live = ~st["done"] & ~exited
+        tr = jnp.where(live, st["tr"] * jnp.maximum(
+            0.0, 1.0 - n_t * inv_maj), st["tr"])
+        # Russian roulette on low transmittance (volume.py:448-453)
+        rr = live & (tr < 0.1)
+        killed = rr & (u[:, 3] >= tr)
+        tr = jnp.where(killed, 0.0, jnp.where(rr, 1.0, tr))
+        done = st["done"] | exited | killed
+        return dict(t=t, tr=tr, done=done, step=st["step"] + 1)
+
+    st = jax.lax.while_loop(cond, body, state)
+    tr3 = _one_hot_tr(kind, st["tr"], pdf, ch)
+    return jnp.where(valid[:, None], tr3, 1.0)

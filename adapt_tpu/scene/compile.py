@@ -127,6 +127,8 @@ class SceneData:
     cam_t: jnp.ndarray          # (3,)
     # --- textures ---
     tex: dict                   # {tag: TextureTable}
+    # --- heterogeneous grid volume (dummy when cfg.volume_kind == 0) ---
+    volume: Any
 
 
 @dataclasses.dataclass(frozen=True)
@@ -156,6 +158,10 @@ class RenderConfig:
     emitter_kinds: tuple = ()
     n_emitters: int = 0
     world_scattering: bool = False
+    medium_kinds: tuple = ()        # MediumTags present (world + objects)
+    has_null_bsdf: bool = False     # any null (medium-boundary) surface
+    volume_kind: int = 0            # VolumeTag (0 = no grid volume)
+    volume_phase: int = 0           # MediumTag of the volume's phase fn
     # SSAO (reference renderer/ssao.py:36-38)
     smp_hemisphere: int = 32
     depth_samples: int = 64
@@ -221,8 +227,14 @@ def _texture_table(objects, recs, atlas) -> TextureTable:
                         c2=jnp.asarray(c2), atlas=jnp.asarray(atlas))
 
 
-def compile_scene(emitters, array_info, objects, configs):
+def compile_scene(emitters, array_info, objects, configs, scene_dir="."):
     """Assemble (SceneData, RenderConfig) from parsed host structures."""
+    from ..ops.volume_ops import compile_volume, dummy_volume
+    from .volume import GridVolumeRec
+
+    vol_nodes = configs.get("volume") or []
+    vol_rec = GridVolumeRec(vol_nodes[0] if vol_nodes else None, scene_dir)
+    vol_data = compile_volume(vol_rec) if vol_rec.type_id else dummy_volume()
     prims = array_info["primitives"]            # (P,3,3)
     n_g = array_info["n_g"]
     n_s = array_info["n_s"]
@@ -303,6 +315,13 @@ def compile_scene(emitters, array_info, objects, configs):
         emitter_kinds=tuple(sorted({e.kind for e in emitters})),
         n_emitters=len(emitters),
         world_scattering=world.medium.is_scattering,
+        medium_kinds=tuple(sorted(
+            {m.medium.type_id for m in mats if m.medium.type_id >= 0}
+            | ({world.medium.type_id} if world.medium.is_scattering
+               else set()))),
+        has_null_bsdf=any(m.is_bsdf and m.type_id < 0 for m in mats),
+        volume_kind=int(vol_rec.type_id),
+        volume_phase=int(vol_rec.phase_type_id),
         smp_hemisphere=int(configs.get("smp_hemisphere", 32)),
         depth_samples=int(configs.get("depth_samples", 64)),
         sample_extent=float(configs.get("sample_extent", 0.1)),
@@ -385,6 +404,7 @@ def compile_scene(emitters, array_info, objects, configs):
         cam_r=jnp.asarray(cam_r),
         cam_t=jnp.asarray(cam_t),
         tex=tex_tables,
+        volume=vol_data,
     )
     return scene, cfg
 
@@ -403,5 +423,6 @@ def load_scene(directory: str, file: str):
     """Parse + compile a scene in one call."""
     from ..parsers.xml_parser import scene_parsing
     emitters, array_info, objects, configs = scene_parsing(directory, file)
-    scene, cfg = compile_scene(emitters, array_info, objects, configs)
+    scene, cfg = compile_scene(emitters, array_info, objects, configs,
+                               scene_dir=directory)
     return scene, cfg, configs
