@@ -70,6 +70,11 @@ def get_options(argv=None):
     parser.add_argument("--no_save_fig", action="store_true")
     parser.add_argument("--no_watermark", action="store_true")
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--width", type=int, default=0,
+                        help="override film width (focal rescaled)")
+    parser.add_argument("--height", type=int, default=0)
+    parser.add_argument("--max_bounce", type=int, default=0,
+                        help="override scene max_bounce")
     argv = _apply_config_file(parser, argv if argv is not None else
                               __import__("sys").argv[1:])
     return parser.parse_args(argv)

@@ -85,6 +85,13 @@ def track_ray(scene, cfg, start_p, ray_d, depth, key=None, thp=None):
     volume (ratio-tracking transmittance, vpt.py:110-112)."""
     N = start_p.shape[0]
     w_ior = scene.world_medium.ior[0]
+    if not (cfg.world_scattering or cfg.has_null_bsdf or cfg.volume_kind
+            or cfg.medium_kinds):
+        # static fast path: no media anywhere -> binary occlusion
+        from ..ops.intersect import does_intersect
+        occ = does_intersect(scene, cfg, start_p, ray_d, depth)
+        return (jnp.where(occ[..., None], 0.0, 1.0)
+                * jnp.ones((N, 3), jnp.float32)), depth * w_ior
     vol_tr = 1.0
     if cfg.volume_kind:
         from ..ops import volume_ops

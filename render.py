@@ -82,6 +82,14 @@ def main():
 
     scene, cfg, configs = load_scene(
         os.path.join(opts.input_path, opts.scene), opts.name)
+    if opts.width > 0 or opts.height > 0 or opts.max_bounce > 0:
+        import dataclasses
+        w = opts.width or cfg.w
+        h = opts.height or cfg.h
+        cfg = dataclasses.replace(
+            cfg, w=w, h=h, focal=cfg.focal * min(w, h) / min(cfg.w, cfg.h),
+            start_x=0, end_x=w, start_y=0, end_y=h,
+            max_bounce=opts.max_bounce or cfg.max_bounce)
     rdr = build_renderer(opts, scene, cfg, configs)
     print(f"scene '{opts.scene}/{opts.name}' loaded: "
           f"{int(scene.prim_ng.shape[0])} prims, {cfg.w}x{cfg.h}, "

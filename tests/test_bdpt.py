@@ -1,0 +1,80 @@
+"""BDPT validation against the (oracle-validated) unidirectional PT.
+
+1. s<=1 strategies without MIS reduce exactly to PT's NEE estimator
+   (deterministic match under a delta light, no media).
+2. The full MIS-weighted estimator converges to the same image as PT.
+3. Transient mode: time bins are consistent with steady state and with
+   geometric time-of-flight bounds.
+"""
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from adapt_tpu.scene.compile import load_scene
+from adapt_tpu.renderer.bdpt import render_pass_bdpt
+from adapt_tpu.renderer.pt import render_pass_pt
+
+from conftest import SCENE_DIR
+
+NOMEDIA = dict(world_scattering=False, medium_kinds=(), has_null_bsdf=False)
+
+
+@pytest.fixture(scope="module")
+def cbox():
+    scene, cfg, _ = load_scene(SCENE_DIR + "/cbox/", "cbox.xml")
+    cfg = dataclasses.replace(
+        cfg, w=32, h=32, focal=cfg.focal * 32 / 512, end_x=32, end_y=32,
+        use_rr=False, anti_alias=False, stratified_sampling=False, **NOMEDIA)
+    return scene, cfg
+
+
+def test_bdpt_s1_equals_pt_direct(cbox):
+    scene, cfg = cbox
+    base = dataclasses.replace(cfg, max_bounce=1)
+    cfg_b = dataclasses.replace(base, use_mis=False, start_t=2, end_t=3,
+                                start_s=1, end_s=2)
+    key = jax.random.PRNGKey(0)
+    b = np.asarray(render_pass_bdpt(scene, cfg_b, key, jnp.int32(1))[0])
+    p = np.asarray(render_pass_pt(scene, base, key, jnp.int32(1)))
+    assert np.abs(b - p).max() < 1e-3
+
+
+def test_bdpt_mis_converges_to_pt(cbox):
+    scene, cfg = cbox
+    base = dataclasses.replace(cfg, max_bounce=3, anti_alias=True)
+    key = jax.random.PRNGKey(1)
+    ab = np.zeros((32 * 32, 3), np.float32)
+    ap = np.zeros((32 * 32, 3), np.float32)
+    spp = 48
+    for i in range(spp):
+        key, k1, k2 = jax.random.split(key, 3)
+        ab += np.nan_to_num(np.asarray(
+            render_pass_bdpt(scene, base, k1, jnp.int32(i + 1))[0]))
+        ap += np.nan_to_num(np.asarray(
+            render_pass_pt(scene, base, k2, jnp.int32(i + 1))))
+    ratio = ab.mean(0) / ap.mean(0)
+    assert np.abs(ratio - 1.0).max() < 0.06, ratio
+
+
+def test_bdpt_transient_bins(cbox):
+    scene, cfg = cbox
+    cfg_t = dataclasses.replace(cfg, max_bounce=2,
+                                decomposition="transient_cam", t_bins=64,
+                                t_min=0.0, t_interval=0.5)
+    assert cfg_t.transient
+    key = jax.random.PRNGKey(2)
+    color, bins, cnts = render_pass_bdpt(scene, cfg_t, key, jnp.int32(1))
+    color, bins = np.asarray(color), np.asarray(bins)
+    cnts = np.asarray(cnts)
+    assert np.isfinite(bins).all()
+    # every binned contribution is part of the steady-state color
+    assert bins.sum() <= color.sum() * 1.001 + 1e-3
+    assert bins.sum() > 0.1 * color.sum()
+    # geometric lower bound on path time: the camera is ~8 units outside
+    # the box, so nothing can arrive before ~8 units of flight time
+    first_bin = np.nonzero(bins.sum(axis=(0, 2)))[0]
+    assert first_bin.size > 0
+    assert first_bin[0] * cfg_t.t_interval >= 8.0, first_bin[0]
