@@ -22,7 +22,7 @@ import jax.numpy as jnp
 from ..constants import BRDFTag, BSDFTag, INV_PI, TRANSPORT_RAD, TRANSPORT_UNI
 from .math3d import dot, normalize, rotation_from_y, convert_to_raw
 from .geo_optics import (inci_reflect_dir, schlick_fresnel, fresnel_equation,
-                         snell_refraction, refraction_cos2)
+                         snell_refraction, refraction_cos2, fresnel_eval)
 from .sampling import (cosine_hemisphere, mod_phong_hemisphere,
                        fresnel_hemisphere)
 
@@ -178,6 +178,130 @@ def _thin_coat_fresnel(mat, it, incid):
                             jnp.sqrt(jnp.maximum(cos_r2, 0.0)))
 
 
+# ================= GGX / Trowbridge-Reitz microfacet =================
+# Anisotropic GGX with Heitz visible-normal sampling. The reference ships
+# this behind a compile-time flag that defaults OFF (brdf.py:8, JIT cost) —
+# here it is always available. Parameterization follows the reference:
+# k_g[0]/k_g[1] = alpha_x/alpha_y (roughness_to_alpha precompute), k_s[0..1]
+# = dielectric Fresnel iors (sampler/microfacet.py:28-177, brdf.py:426-499).
+# Local frames are y-up (rotation_from_y), matching the sampler library.
+
+def _ggx_d(wh_l, ax, ay):
+    """GGX normal distribution D in the y-up local frame."""
+    cos2 = wh_l[..., 1] * wh_l[..., 1]
+    e = (wh_l[..., 0] ** 2 / jnp.maximum(ax * ax, 1e-9)
+         + wh_l[..., 2] ** 2 / jnp.maximum(ay * ay, 1e-9))
+    denom = jnp.pi * ax * ay * (cos2 + e) ** 2
+    return jnp.where(cos2 > 1e-12, 1.0 / jnp.maximum(denom, 1e-12), 0.0)
+
+
+def _ggx_lambda(w_l, ax, ay):
+    """Smith masking Lambda (reference trow_reitz_lambda)."""
+    cos2 = w_l[..., 1] * w_l[..., 1]
+    a2 = (ax * w_l[..., 0]) ** 2 + (ay * w_l[..., 2]) ** 2
+    tan2 = a2 / jnp.maximum(cos2, 1e-9)
+    return 0.5 * (-1.0 + jnp.sqrt(1.0 + tan2))
+
+
+def _ggx_g1(w_l, ax, ay):
+    return 1.0 / (1.0 + _ggx_lambda(w_l, ax, ay))
+
+
+def _ggx_g(wo_l, wi_l, ax, ay):
+    return 1.0 / (1.0 + _ggx_lambda(wo_l, ax, ay)
+                  + _ggx_lambda(wi_l, ax, ay))
+
+
+def _ggx_sample_wh(wo_l, ax, ay, u1, u2):
+    """Heitz 2018 VNDF sampling in the y-up local frame."""
+    vh = normalize(jnp.stack([ax * wo_l[..., 0], wo_l[..., 1],
+                              ay * wo_l[..., 2]], axis=-1))
+    lensq = vh[..., 0] ** 2 + vh[..., 2] ** 2
+    inv_len = 1.0 / jnp.sqrt(jnp.maximum(lensq, 1e-12))
+    T1 = jnp.where((lensq > 1e-9)[..., None],
+                   jnp.stack([-vh[..., 2] * inv_len,
+                              jnp.zeros_like(inv_len),
+                              vh[..., 0] * inv_len], axis=-1),
+                   jnp.broadcast_to(jnp.array([1.0, 0.0, 0.0]), vh.shape))
+    T2 = jnp.cross(vh, T1)
+    r = jnp.sqrt(u1)
+    phi = 2.0 * jnp.pi * u2
+    t1 = r * jnp.cos(phi)
+    t2 = r * jnp.sin(phi)
+    s = 0.5 * (1.0 + vh[..., 1])
+    t2 = (1.0 - s) * jnp.sqrt(jnp.maximum(1.0 - t1 * t1, 0.0)) + s * t2
+    nh = (t1[..., None] * T1 + t2[..., None] * T2
+          + jnp.sqrt(jnp.maximum(1.0 - t1 * t1 - t2 * t2, 0.0))[..., None]
+          * vh)
+    wh = jnp.stack([ax * nh[..., 0], jnp.maximum(nh[..., 1], 1e-6),
+                    ay * nh[..., 2]], axis=-1)
+    return normalize(wh)
+
+
+def _ggx_local(n_s, v):
+    """World -> y-up local frame of n_s (R^T v)."""
+    R = rotation_from_y(n_s)
+    return jnp.einsum("...ji,...j->...i", R, v)
+
+
+def eval_microfacet(mat, it, incid, out):
+    """Cosine-weighted Torrance-Sparrow GGX (reference brdf.py:471-499)."""
+    ax = jnp.maximum(mat.kg[..., 0], 1e-4)
+    ay = jnp.maximum(mat.kg[..., 1], 1e-4)
+    cos_o = dot(it.n_s, out)
+    cos_i = dot(it.n_s, incid)
+    ok = cos_o * cos_i < 0.0
+    wh = normalize(out - incid)
+    # keep wh in the upper hemisphere of the local frame
+    wh = jnp.where(dot(wh, it.n_s)[..., None] < 0.0, -wh, wh)
+    wh_l = _ggx_local(it.n_s, wh)
+    wo_l = _ggx_local(it.n_s, -incid)
+    wi_l = _ggx_local(it.n_s, out)
+    F = fresnel_eval(dot(wh, out), mat.ks[..., 0], mat.ks[..., 1])
+    val = (diffuse_color(mat, it) * (_ggx_d(wh_l, ax, ay)
+           * _ggx_g(wo_l, wi_l, ax, ay) * F)[..., None]
+           / jnp.maximum(4.0 * jnp.abs(cos_i), 1e-9)[..., None])
+    return jnp.where(ok[..., None], val, 0.0)
+
+
+def _ggx_pdf(mat, it, incid, out):
+    """Solid-angle pdf of the VNDF sample for incid -> out."""
+    ax = jnp.maximum(mat.kg[..., 0], 1e-4)
+    ay = jnp.maximum(mat.kg[..., 1], 1e-4)
+    wh = normalize(out - incid)
+    wh = jnp.where(dot(wh, it.n_s)[..., None] < 0.0, -wh, wh)
+    wh_l = _ggx_local(it.n_s, wh)
+    wo_l = _ggx_local(it.n_s, -incid)
+    wo_l = jnp.where(wo_l[..., 1:2] < 0.0, -wo_l, wo_l)
+    dot_wo_wh = jnp.abs(jnp.sum(wo_l * wh_l, -1))
+    pdf_vndf = _ggx_g1(wo_l, ax, ay) * _ggx_d(wh_l, ax, ay) * dot_wo_wh \
+        / jnp.maximum(jnp.abs(wo_l[..., 1]), 1e-9)
+    return pdf_vndf / jnp.maximum(4.0 * dot_wo_wh, 1e-9)
+
+
+def _sample_microfacet(mat, it, incid, u):
+    """VNDF importance sampling (reference brdf.py:430-452)."""
+    ax = jnp.maximum(mat.kg[..., 0], 1e-4)
+    ay = jnp.maximum(mat.kg[..., 1], 1e-4)
+    wo_l = _ggx_local(it.n_s, -incid)
+    flip = wo_l[..., 1:2] < 0.0
+    wo_l = jnp.where(flip, -wo_l, wo_l)
+    wh_l = _ggx_sample_wh(wo_l, ax, ay, u[:, 2], u[:, 3])
+    R = rotation_from_y(it.n_s)
+    wh = jnp.einsum("...ij,...j->...i", R, wh_l)
+    wh = jnp.where(flip, -wh, wh)
+    out, _ = inci_reflect_dir(incid, wh)
+    spec = eval_microfacet(mat, it, incid, out)
+    dot_wo_wh = jnp.abs(jnp.sum(wo_l * wh_l, -1))
+    pdf = _ggx_g1(wo_l, ax, ay) * _ggx_d(wh_l, ax, ay) * dot_wo_wh \
+        / jnp.maximum(jnp.abs(wo_l[..., 1]), 1e-9) \
+        / jnp.maximum(4.0 * dot_wo_wh, 1e-9)
+    bad = dot(out, it.n_s) * dot(incid, it.n_s) >= 0.0
+    spec = jnp.where(bad[..., None], 0.0, spec)
+    pdf = jnp.where(bad, 1.0, pdf)
+    return out, spec, pdf
+
+
 _BRDF_EVALS = {
     BRDFTag.BLINN_PHONG: lambda m, it, i, o: eval_blinn_phong(m, it, i, o),
     BRDFTag.LAMBERTIAN: lambda m, it, i, o: eval_lambertian(m, it, it.n_s, o),
@@ -186,7 +310,7 @@ _BRDF_EVALS = {
     BRDFTag.OREN_NAYAR: eval_oren_nayar,
     BRDFTag.THIN_COAT: eval_thin_coat,
     BRDFTag.SPECULAR: lambda m, it, i, o: jnp.zeros_like(m.kd),
-    BRDFTag.MICROFACET: lambda m, it, i, o: jnp.zeros_like(m.kd),
+    BRDFTag.MICROFACET: eval_microfacet,
 }
 
 
@@ -249,9 +373,9 @@ def brdf_sample(cfg, mat, it, incid, u):
         elif tag == BRDFTag.THIN_COAT:
             t_dir, t_spec, t_pdf, t_delta = _sample_thin_coat(mat, it, incid,
                                                               u)
-        else:  # MICROFACET disabled (reference brdf.py:8) -> black fallback
-            t_dir, t_spec = out, jnp.zeros_like(spec)
-            t_pdf, t_delta = jnp.ones((N,), jnp.float32), None
+        else:  # MICROFACET (always enabled, unlike reference brdf.py:8)
+            t_dir, t_spec, t_pdf = _sample_microfacet(mat, it, incid, u)
+            t_delta = None
         m = (mat.kind == tag) & ~mat.is_bsdf
         out = jnp.where(m[..., None], t_dir, out)
         spec = jnp.where(m[..., None], t_spec, spec)
@@ -389,7 +513,9 @@ def brdf_pdf(cfg, mat, it, outdir, incid):
                 mat.kg[..., 0] * cos_phi2 + mat.kg[..., 1] * sin_phi2) \
                 / jnp.maximum(jnp.abs(dot(incid, half)), 1e-9)
             t_pdf = 0.5 * (t_pdf + cos_pdf)
-        else:  # SPECULAR / MICROFACET: delta or disabled
+        elif tag == BRDFTag.MICROFACET:
+            t_pdf = _ggx_pdf(mat, it, incid, outdir)
+        else:  # SPECULAR: delta
             t_pdf = jnp.zeros_like(cos_pdf)
         pdf = jnp.where(mat.kind == tag, t_pdf, pdf)
     return jnp.where(gate, pdf, 0.0)
