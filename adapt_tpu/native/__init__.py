@@ -42,7 +42,72 @@ def get_lib():
                                      ctypes.POINTER(ctypes.c_int32)]
     _lib.vol_read.argtypes = [ctypes.c_char_p,
                               ctypes.POINTER(ctypes.c_float), ctypes.c_int]
+    _lib.bvh_build.argtypes = [ctypes.POINTER(ctypes.c_float),
+                               ctypes.c_int64, ctypes.c_int32,
+                               ctypes.POINTER(ctypes.c_float),
+                               ctypes.POINTER(ctypes.c_int32),
+                               ctypes.POINTER(ctypes.c_int32)]
+    _lib.bvh_build.restype = ctypes.c_int
     return _lib
+
+
+def bvh_build(aabbs: np.ndarray):
+    """Binned-SAH BVH with skip-offset linearization (native, with a
+    pure-numpy median-split fallback).
+
+    aabbs: (P, 6) float32 [lo, hi]. Returns (node_f (M,6) float32,
+    node_i (M,3) int32 [base, count, skip], prim_order (P,) int32)."""
+    P = aabbs.shape[0]
+    aabbs = np.ascontiguousarray(aabbs, np.float32)
+    lib = get_lib()
+    if lib is not None:
+        max_nodes = max(4 * P, 64)
+        node_f = np.empty((max_nodes, 6), np.float32)
+        node_i = np.empty((max_nodes, 3), np.int32)
+        order = np.empty(P, np.int32)
+        m = lib.bvh_build(
+            aabbs.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), P,
+            max_nodes, node_f.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            node_i.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            order.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+        if m > 0:
+            return node_f[:m].copy(), node_i[:m].copy(), order
+    return _bvh_numpy_fallback(aabbs)
+
+
+def _bvh_numpy_fallback(aabbs: np.ndarray, leaf_max: int = 4):
+    """Median-split BVH in numpy (slow build, same flat layout)."""
+    P = aabbs.shape[0]
+    centroids = 0.5 * (aabbs[:, :3] + aabbs[:, 3:])
+    node_f, node_i = [], []
+
+    def rec(ids):
+        me = len(node_f)
+        node_f.append(np.concatenate([aabbs[ids, :3].min(0),
+                                      aabbs[ids, 3:].max(0)]))
+        node_i.append([0, 0, 0])
+        if len(ids) <= leaf_max:
+            node_i[me] = [0, len(ids), 0]
+            leaf_prims.append(ids)
+            node_leaf.append(me)
+        else:
+            c = centroids[ids]
+            axis = int(np.argmax(c.max(0) - c.min(0)))
+            half = len(ids) // 2
+            part = np.argpartition(c[:, axis], half)
+            rec(ids[part[:half]])
+            rec(ids[part[half:]])
+        node_i[me][2] = len(node_f)
+
+    leaf_prims, node_leaf = [], []
+    rec(np.arange(P))
+    order = np.concatenate(leaf_prims).astype(np.int32)
+    base = 0
+    for me, prims in zip(node_leaf, leaf_prims):
+        node_i[me][0] = base
+        base += len(prims)
+    return (np.asarray(node_f, np.float32), np.asarray(node_i, np.int32),
+            order)
 
 
 def vol_file_to_numpy(path: str, force_mono: bool = False) -> np.ndarray:

@@ -132,7 +132,17 @@ def ray_intersect(scene, cfg, ray_o, ray_d, max_t=None):
     """Closest-hit intersection for a ray batch; returns Interaction.
 
     max_t: optional (N,) clip distance (reference min_depth semantics:
-    hits are only accepted strictly before max_t - eps)."""
+    hits are only accepted strictly before max_t - eps). Dispatches to the
+    BVH traversal for large scenes (cfg.use_bvh)."""
+    if cfg.use_bvh:
+        from .bvh import traverse
+        best_t, best_prim, best_u, best_v = traverse(scene, ray_o, ray_d,
+                                                     max_t)
+        is_sphere_hit = scene.prim_is_sphere[jnp.maximum(best_prim, 0)] \
+            & (best_prim >= 0)
+        return _assemble_interaction(scene, cfg, ray_o, ray_d, best_t,
+                                     best_prim, best_u, best_v,
+                                     is_sphere_hit)
     N = ray_o.shape[0]
     far0 = jnp.full((N,), FAR, jnp.float32) if max_t is None \
         else jnp.where(max_t > 0.0, max_t - RAY_EPS, FAR)
@@ -179,9 +189,19 @@ def ray_intersect(scene, cfg, ray_o, ray_d, max_t=None):
         best_prim = jnp.where(better, scene.sph_gid[si], best_prim)
         is_sphere_hit = better
 
+    return _assemble_interaction(scene, cfg, ray_o, ray_d, best_t,
+                                 best_prim, best_u, best_v, is_sphere_hit)
+
+
+def _assemble_interaction(scene, cfg, ray_o, ray_d, best_t, best_prim,
+                          best_u, best_v, is_sphere_hit):
+    """Build the Interaction record from raw hit data
+    (reference tracer_base.py:215-237)."""
+    N = ray_o.shape[0]
     hit = best_prim >= 0
     prim = jnp.maximum(best_prim, 0)
     obj_id = jnp.where(hit, _prim_to_obj(scene, prim, is_sphere_hit), -1)
+    S = scene.sph_center.shape[0]
 
     # --- normals / uv assembly (reference tracer_base.py:215-237) ---
     n_g_tri = scene.prim_ng[prim]
@@ -233,6 +253,11 @@ def _prim_to_obj(scene, prim, is_sphere_hit):
 
 def does_intersect(scene, cfg, ray_o, ray_d, max_t=None):
     """Boolean occlusion test (shadow rays); any hit strictly before max_t."""
+    if cfg.use_bvh:
+        from .bvh import traverse
+        _t, prim, _u, _v = traverse(scene, ray_o, ray_d, max_t,
+                                    any_hit=True)
+        return prim >= 0
     N = ray_o.shape[0]
     far = jnp.full((N,), FAR, jnp.float32) if max_t is None \
         else jnp.where(max_t > 0.0, max_t - RAY_EPS, FAR)

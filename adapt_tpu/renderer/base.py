@@ -91,6 +91,13 @@ class ProgressiveRenderer:
         self.color = self.color + radiance.reshape(self.cfg.w, self.cfg.h, 3)
         return self.color
 
+    def render_batch(self, spp: int):
+        """Accumulate `spp` samples; subclasses with a fused multi-spp
+        kernel override this (one device dispatch instead of spp)."""
+        for _ in range(spp):
+            self.render()
+        return self.color
+
     @property
     def pixels(self):
         """Running average, (w, h, 3)."""

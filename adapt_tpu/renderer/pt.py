@@ -30,9 +30,26 @@ def _hit_light(scene, it):
                      scene.obj_emitter[jnp.maximum(it.obj_id, 0)], -1)
 
 
+@partial(jax.jit, static_argnames=("cfg", "spp"))
+def render_batch_pt(scene, cfg, key, cnt0, spp):
+    """spp progressive samples accumulated inside one jit call (amortizes
+    host->device dispatch, the dominant cost for small per-pass work).
+    Returns the SUM of spp per-pixel radiance estimates, (N, 3)."""
+    def body(i, acc):
+        sub = jax.random.fold_in(key, i)
+        return acc + jnp.nan_to_num(
+            _render_pass_impl(scene, cfg, sub, cnt0 + i), nan=0.0)
+    init = jnp.zeros((cfg.n_pixels, 3), jnp.float32)
+    return jax.lax.fori_loop(0, spp, body, init)
+
+
 @partial(jax.jit, static_argnames=("cfg",))
 def render_pass_pt(scene, cfg, key, cnt):
     """One progressive sample for every pixel; returns (N, 3) radiance."""
+    return _render_pass_impl(scene, cfg, key, cnt)
+
+
+def _render_pass_impl(scene, cfg, key, cnt):
     key, cam_key = jax.random.split(key)
     ray_o, ray_d = camera_rays(scene, cfg, cam_key, cnt)
     color = trace_pt(scene, cfg, key, ray_o, ray_d)
@@ -169,3 +186,11 @@ class Renderer(ProgressiveRenderer):
     def render_pass(self, key, cnt):
         return render_pass_pt(self.scene, self.cfg, key,
                               jnp.asarray(cnt, jnp.int32))
+
+    def render_batch(self, spp: int):
+        self.key, sub = jax.random.split(self.key)
+        acc = render_batch_pt(self.scene, self.cfg, sub,
+                              jnp.int32(self.cnt + 1), spp)
+        self.cnt += spp
+        self.color = self.color + acc.reshape(self.cfg.w, self.cfg.h, 3)
+        return self.color

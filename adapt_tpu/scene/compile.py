@@ -129,6 +129,22 @@ class SceneData:
     tex: dict                   # {tag: TextureTable}
     # --- heterogeneous grid volume (dummy when cfg.volume_kind == 0) ---
     volume: Any
+    # --- BVH (skip-offset flat layout; 1-node dummies when not built) ---
+    bvh_lo: jnp.ndarray         # (M,3) node AABB
+    bvh_hi: jnp.ndarray
+    bvh_base: jnp.ndarray       # (M,) leaf prim base (into bvh_prim)
+    bvh_cnt: jnp.ndarray        # (M,) leaf prim count (0 = internal)
+    bvh_skip: jnp.ndarray       # (M,) next node on AABB miss
+    bvh_prim: jnp.ndarray       # (P,) traversal order -> global prim id
+    # full-length per-prim test data (triangle plane/dual-basis; zeros for
+    # sphere prims which use pre0/pre1 instead)
+    prim_is_sphere: jnp.ndarray  # (P,) bool
+    prim_n: jnp.ndarray          # (P,3)
+    prim_d: jnp.ndarray          # (P,)
+    prim_U: jnp.ndarray          # (P,3)
+    prim_V: jnp.ndarray          # (P,3)
+    prim_cu: jnp.ndarray         # (P,)
+    prim_cv: jnp.ndarray         # (P,)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -162,6 +178,7 @@ class RenderConfig:
     has_null_bsdf: bool = False     # any null (medium-boundary) surface
     volume_kind: int = 0            # VolumeTag (0 = no grid volume)
     volume_phase: int = 0           # MediumTag of the volume's phase fn
+    use_bvh: bool = False           # BVH traversal vs brute-force scan
     # SSAO (reference renderer/ssao.py:36-38)
     smp_hemisphere: int = 32
     depth_samples: int = 64
@@ -277,6 +294,50 @@ def compile_scene(emitters, array_info, objects, configs, scene_dir="."):
         pre1[sph_ids] = prims[sph_ids, 1]        # radius row
         pre2[sph_ids] = 0.0
 
+    # --- full-length per-prim triangle test data (BVH leaf tests) ---
+    prim_is_sphere = np.zeros(P, bool)
+    prim_is_sphere[sph_ids] = True
+    prim_n = np.zeros((P, 3), np.float32)
+    prim_d = np.zeros(P, np.float32)
+    prim_U = np.zeros((P, 3), np.float32)
+    prim_V = np.zeros((P, 3), np.float32)
+    prim_cu = np.zeros(P, np.float32)
+    prim_cv = np.zeros(P, np.float32)
+    prim_n[tri_ids] = n_unit
+    prim_d[tri_ids] = (n_unit * p0).sum(-1)
+    prim_U[tri_ids] = U
+    prim_V[tri_ids] = V
+    prim_cu[tri_ids] = (U * p0).sum(-1)
+    prim_cv[tri_ids] = (V * p0).sum(-1)
+
+    # --- BVH over all prims (native binned-SAH; skipped for tiny scenes
+    # where the brute-force wavefront scan is faster) ---
+    BVH_THRESHOLD = 64
+    use_bvh = P >= BVH_THRESHOLD
+    if use_bvh:
+        from ..native import bvh_build
+        prim_lo = prims.min(axis=1)
+        prim_hi = prims.max(axis=1)
+        if sph_ids.size:
+            c = prims[sph_ids, 0]
+            r = prims[sph_ids, 1, :1]
+            prim_lo[sph_ids] = c - r
+            prim_hi[sph_ids] = c + r
+        node_f, node_i, prim_order = bvh_build(
+            np.concatenate([prim_lo, prim_hi], axis=1).astype(np.float32))
+        bvh = dict(bvh_lo=jnp.asarray(node_f[:, :3]),
+                   bvh_hi=jnp.asarray(node_f[:, 3:]),
+                   bvh_base=jnp.asarray(node_i[:, 0]),
+                   bvh_cnt=jnp.asarray(node_i[:, 1]),
+                   bvh_skip=jnp.asarray(node_i[:, 2]),
+                   bvh_prim=jnp.asarray(prim_order))
+    else:
+        bvh = dict(bvh_lo=jnp.zeros((1, 3)), bvh_hi=jnp.zeros((1, 3)),
+                   bvh_base=jnp.zeros(1, jnp.int32),
+                   bvh_cnt=jnp.zeros(1, jnp.int32),
+                   bvh_skip=jnp.ones(1, jnp.int32),
+                   bvh_prim=jnp.zeros(max(P, 1), jnp.int32))
+
     # --- camera ---
     cam_orient = configs["transform"][0].astype(np.float32)
     cam_orient /= np.linalg.norm(cam_orient)
@@ -322,6 +383,7 @@ def compile_scene(emitters, array_info, objects, configs, scene_dir="."):
         has_null_bsdf=any(m.is_bsdf and m.type_id < 0 for m in mats),
         volume_kind=int(vol_rec.type_id),
         volume_phase=int(vol_rec.phase_type_id),
+        use_bvh=use_bvh,
         smp_hemisphere=int(configs.get("smp_hemisphere", 32)),
         depth_samples=int(configs.get("depth_samples", 64)),
         sample_extent=float(configs.get("sample_extent", 0.1)),
@@ -405,6 +467,14 @@ def compile_scene(emitters, array_info, objects, configs, scene_dir="."):
         cam_t=jnp.asarray(cam_t),
         tex=tex_tables,
         volume=vol_data,
+        prim_is_sphere=jnp.asarray(prim_is_sphere),
+        prim_n=jnp.asarray(prim_n),
+        prim_d=jnp.asarray(prim_d),
+        prim_U=jnp.asarray(prim_U),
+        prim_V=jnp.asarray(prim_V),
+        prim_cu=jnp.asarray(prim_cu),
+        prim_cv=jnp.asarray(prim_cv),
+        **bvh,
     )
     return scene, cfg
 

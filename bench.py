@@ -25,7 +25,7 @@ def main():
                       os.path.expanduser("~/.cache/adapt_tpu_jax"))
     import jax.numpy as jnp
     from adapt_tpu.scene.compile import load_scene
-    from adapt_tpu.renderer.pt import render_pass_pt
+    from adapt_tpu.renderer.pt import render_batch_pt
 
     here = os.path.dirname(os.path.abspath(__file__))
     scene, cfg, _ = load_scene(os.path.join(here, "scenes", "cbox"),
@@ -33,15 +33,14 @@ def main():
     cfg = dataclasses.replace(cfg, max_bounce=8)
 
     key = jax.random.PRNGKey(0)
-    # compile + warmup
-    out = render_pass_pt(scene, cfg, key, jnp.int32(1))
+    iters = int(os.environ.get("BENCH_ITERS", "16"))
+    # compile + warmup (one fused multi-spp dispatch)
+    out = render_batch_pt(scene, cfg, key, jnp.int32(1), iters)
     jax.block_until_ready(out)
 
-    iters = int(os.environ.get("BENCH_ITERS", "16"))
     t0 = time.perf_counter()
-    for i in range(iters):
-        key, sub = jax.random.split(key)
-        out = render_pass_pt(scene, cfg, sub, jnp.int32(i + 2))
+    out = render_batch_pt(scene, cfg, jax.random.fold_in(key, 1),
+                          jnp.int32(iters + 1), iters)
     jax.block_until_ready(out)
     dt = time.perf_counter() - t0
 
