@@ -58,6 +58,33 @@ def query_texture(table, obj_id, u, v):
     return color, valid
 
 
+def process_ns(scene, cfg, it):
+    """Perturb the shading normal with normal / bump maps
+    (reference path_tracer.py:291-307).
+
+    Normal map: replaces n_s with the mapped normal rotated into the
+    geometric frame. Bump map: rotates n_s by the mapped offset. Statically
+    pruned via cfg.has_normal_map / cfg.has_bump_map."""
+    import dataclasses
+    import jax.numpy as jnp
+    from .math3d import rotation_from_y, normalize
+    n_s = it.n_s
+    if cfg.has_normal_map:
+        normal, valid = get_uv_item(scene, scene.tex["normal"], it)
+        R = rotation_from_y(it.n_g)
+        mapped = jnp.einsum("...ij,...j->...i", R, normalize(normal))
+        n_s = jnp.where(valid[..., None], mapped, n_s)
+    if cfg.has_bump_map:
+        delta, valid = get_uv_item(scene, scene.tex["bump"], it)
+        R = rotation_from_y(n_s)
+        bumped = normalize(jnp.einsum("...ij,...j->...i", R,
+                                      normalize(delta)))
+        n_s = jnp.where(valid[..., None], bumped, n_s)
+    if n_s is it.n_s:
+        return it
+    return dataclasses.replace(it, n_s=n_s)
+
+
 def get_uv_item(scene, table, it):
     """Local barycentric uv -> global uv -> texture color
     (reference path_tracer.py:276-289)."""

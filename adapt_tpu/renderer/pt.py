@@ -20,7 +20,7 @@ from ..ops import bxdf_ops, emitter_ops
 from ..ops.intersect import ray_intersect, does_intersect
 from ..ops.math3d import dot, normalize, norm
 from ..ops.sampling import balance_heuristic
-from ..ops.texture_ops import get_uv_item
+from ..ops.texture_ops import get_uv_item, process_ns
 from .base import ProgressiveRenderer, camera_rays, crop_mask
 
 
@@ -100,6 +100,7 @@ def trace_pt(scene, cfg, key, ray_o, ray_d):
         mat = bxdf_ops.gather_mat(scene, it.obj_id)
 
         # albedo texture fetch (vanilla_renderer.py:66)
+        it = process_ns(scene, cfg, it)
         tex, _ = get_uv_item(scene, scene.tex["albedo"], it)
         it = dataclasses.replace(it, tex=tex)
 

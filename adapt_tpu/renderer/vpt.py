@@ -30,7 +30,7 @@ from ..ops import bxdf_ops, emitter_ops, medium_ops
 from ..ops.intersect import ray_intersect, Interaction
 from ..ops.math3d import dot, normalize, norm
 from ..ops.sampling import balance_heuristic
-from ..ops.texture_ops import get_uv_item
+from ..ops.texture_ops import get_uv_item, process_ns
 from .base import ProgressiveRenderer, camera_rays, crop_mask
 
 NULL_BUDGET = 8       # extra loop iterations to absorb null-surface crossings
@@ -227,6 +227,7 @@ def trace_vpt(scene, cfg, key, ray_o, ray_d):
         hit_light = jnp.where(is_mi | miss, -1,
                               scene.obj_emitter[jnp.maximum(obj_id, 0)])
         mat = bxdf_ops.gather_mat(scene, obj_id)
+        it = process_ns(scene, cfg, it)
         tex, _ = get_uv_item(scene, scene.tex["albedo"], it)
         it_s = dataclasses.replace(it, tex=tex)
 

@@ -179,6 +179,8 @@ class RenderConfig:
     volume_kind: int = 0            # VolumeTag (0 = no grid volume)
     volume_phase: int = 0           # MediumTag of the volume's phase fn
     use_bvh: bool = False           # BVH traversal vs brute-force scan
+    has_normal_map: bool = False
+    has_bump_map: bool = False
     # SSAO (reference renderer/ssao.py:36-38)
     smp_hemisphere: int = 32
     depth_samples: int = 64
@@ -384,6 +386,10 @@ def compile_scene(emitters, array_info, objects, configs, scene_dir="."):
         volume_kind=int(vol_rec.type_id),
         volume_phase=int(vol_rec.phase_type_id),
         use_bvh=use_bvh,
+        has_normal_map=any(obj.texture_group.get("normal") is not None
+                           for obj in objects),
+        has_bump_map=any(obj.texture_group.get("bump") is not None
+                         for obj in objects),
         smp_hemisphere=int(configs.get("smp_hemisphere", 32)),
         depth_samples=int(configs.get("depth_samples", 64)),
         sample_extent=float(configs.get("sample_extent", 0.1)),
