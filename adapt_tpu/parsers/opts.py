@@ -75,6 +75,8 @@ def get_options(argv=None):
     parser.add_argument("--height", type=int, default=0)
     parser.add_argument("--max_bounce", type=int, default=0,
                         help="override scene max_bounce")
+    parser.add_argument("--batch_spp", type=int, default=1,
+                        help="samples fused per device dispatch")
     argv = _apply_config_file(parser, argv if argv is not None else
                               __import__("sys").argv[1:])
     return parser.parse_args(argv)

@@ -60,7 +60,10 @@ def export_transient_profile(rdr, opts, configs):
     print(f"transient profile: {len(frames)} frames -> {out_dir}")
     if opts.analyze:
         from adapt_tpu.utils.tdom_analyze import analyze_frames
-        analyze_frames(frames, out_dir)
+        analyze_frames(frames, out_dir,
+                       interval=float(configs.get("interval", 1.0)),
+                       start_time=float(configs.get("min_time", 0.0)),
+                       viz=True)
 
 
 def main():
@@ -117,7 +120,10 @@ def main():
         progress = None
 
     def loop_body(i):
-        rdr.render()
+        if opts.batch_spp > 1:
+            rdr.render_batch(opts.batch_spp)
+        else:
+            rdr.render()
         if opts.save_iter > 0 and (i + 1) % opts.save_iter == 0:
             save_check_point(rdr, opts)
         if opts.output_freq > 0 and (i + 1) % opts.output_freq == 0:
