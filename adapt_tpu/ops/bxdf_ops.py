@@ -20,7 +20,8 @@ import jax
 import jax.numpy as jnp
 
 from ..constants import BRDFTag, BSDFTag, INV_PI, TRANSPORT_RAD, TRANSPORT_UNI
-from .math3d import dot, normalize, rotation_from_y, convert_to_raw
+from .math3d import (dot, normalize, rotation_from_y, convert_to_raw,
+                     delocalize_rotate, localize_rotate)
 from .geo_optics import (inci_reflect_dir, schlick_fresnel, fresnel_equation,
                          snell_refraction, refraction_cos2, fresnel_eval)
 from .sampling import (cosine_hemisphere, mod_phong_hemisphere,
@@ -97,8 +98,9 @@ def eval_mod_phong(mat, it, incid, out):
 def _fresnel_cos2_sin2(half_vec, normal, dot_half):
     """Azimuth (cos^2, sin^2) of the half vector in the tangent frame
     (reference brdf.py:247-250)."""
-    R = rotation_from_y(normal)
-    transed_x = R[..., :, 0]                        # R @ [1,0,0]
+    x_axis = jnp.broadcast_to(jnp.array([1.0, 0.0, 0.0], half_vec.dtype),
+                              half_vec.shape)
+    transed_x = delocalize_rotate(normal, x_axis)   # R @ [1,0,0]
     proj = normalize(half_vec - dot_half[..., None] * normal)
     cos_phi2 = dot(transed_x, proj) ** 2
     return cos_phi2, 1.0 - cos_phi2
@@ -239,9 +241,8 @@ def _ggx_sample_wh(wo_l, ax, ay, u1, u2):
 
 
 def _ggx_local(n_s, v):
-    """World -> y-up local frame of n_s (R^T v)."""
-    R = rotation_from_y(n_s)
-    return jnp.einsum("...ji,...j->...i", R, v)
+    """World -> y-up local frame of n_s."""
+    return localize_rotate(n_s, v)
 
 
 def eval_microfacet(mat, it, incid, out):
@@ -287,8 +288,7 @@ def _sample_microfacet(mat, it, incid, u):
     flip = wo_l[..., 1:2] < 0.0
     wo_l = jnp.where(flip, -wo_l, wo_l)
     wh_l = _ggx_sample_wh(wo_l, ax, ay, u[:, 2], u[:, 3])
-    R = rotation_from_y(it.n_s)
-    wh = jnp.einsum("...ij,...j->...i", R, wh_l)
+    wh = delocalize_rotate(it.n_s, wh_l)
     wh = jnp.where(flip, -wh, wh)
     out, _ = inci_reflect_dir(incid, wh)
     spec = eval_microfacet(mat, it, incid, out)
@@ -328,8 +328,7 @@ def brdf_eval(cfg, mat, it, incid, out):
 
 def _sample_lambertian(mat, it, normal, u1, u2):
     local_dir, pdf = cosine_hemisphere(u1, u2)
-    R = rotation_from_y(normal)
-    out = jnp.einsum("...ij,...j->...i", R, local_dir)
+    out = delocalize_rotate(normal, local_dir)
     return out, eval_lambertian(mat, it, normal, out), pdf
 
 
@@ -397,8 +396,7 @@ def _sample_mod_phong(mat, it, incid, u, lam_dir, lam_spec, lam_pdf):
     # glossy lobe around the reflected view direction
     local_dir, g_pdf = mod_phong_hemisphere(u[:, 3], u[:, 4],
                                             mat.mean[..., 2])
-    R = rotation_from_y(it.n_s)
-    normal = jnp.einsum("...ij,...j->...i", R, local_dir)
+    normal = delocalize_rotate(it.n_s, local_dir)
     g_dir = normalize(-2.0 * normal * dot(incid, normal)[..., None] + incid)
     g_spec = eval_mod_phong(mat, it, incid, g_dir)
 
@@ -422,8 +420,7 @@ def _sample_fresnel_blend(mat, it, incid, u, lam_dir):
     local_half, power_coeff = fresnel_hemisphere(u[:, 2], u[:, 3],
                                                  mat.kg[..., 0],
                                                  mat.kg[..., 1])
-    R = rotation_from_y(it.n_s)
-    half = jnp.einsum("...ij,...j->...i", R, local_half)
+    half = delocalize_rotate(it.n_s, local_half)
     reflected, dot_incid = inci_reflect_dir(incid, half)
     half_pdf = mat.kg[..., 2] * jnp.power(
         jnp.maximum(dot(half, it.n_s), 0.0), power_coeff)
@@ -450,8 +447,7 @@ def _sample_thin_coat(mat, it, incid, u):
 
     # diffuse branch: cosine-hemisphere + second Fresnel event
     local_dir, lam_pdf = cosine_hemisphere(u[:, 0], u[:, 1])
-    R = rotation_from_y(it.n_s)
-    d_dir = jnp.einsum("...ij,...j->...i", R, local_dir)
+    d_dir = delocalize_rotate(it.n_s, local_dir)
     dot_out = dot(d_dir, it.n_s)
     cos_r2_out = refraction_cos2(dot_out, ior, jnp.ones_like(ior))
     total_ref = cos_r2_out < 0.0
@@ -565,8 +561,7 @@ def bsdf_sample(cfg, mat, it, incid, u, world_ior, mode=TRANSPORT_UNI):
             do_refract = (~total) & (u[:, 0] > F)
             local_dir, lam_pdf = cosine_hemisphere(u[:, 1], u[:, 2])
             normal = jnp.sign(dot_normal)[..., None] * it.n_s
-            R = rotation_from_y(normal)
-            d_dir = jnp.einsum("...ij,...j->...i", R, local_dir)
+            d_dir = delocalize_rotate(normal, local_dir)
             cos_term = jnp.maximum(0.0, dot(normal, d_dir))
             d_int = base_color * (INV_PI * cos_term
                                   * rad_scale)[..., None] \

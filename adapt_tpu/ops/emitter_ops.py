@@ -12,7 +12,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from ..constants import (EmitterTag, INV_PI, INV_2PI, BIT_POS_DELTA)
-from .math3d import dot, normalize, rotation_from_y, norm
+from .math3d import dot, normalize, delocalize_rotate, norm
 from .sampling import (uniform_sphere, cosine_hemisphere, uniform_cone,
                        sample_triangle, concentric_disk)
 
@@ -20,8 +20,7 @@ HEMISPHERE_SAMPLE_SPHERE = True  # reference abtract_source.py:25
 
 
 def _rotate(anchor, local_dir):
-    R = rotation_from_y(anchor)
-    return jnp.einsum("...ij,...j->...i", R, local_dir)
+    return delocalize_rotate(anchor, local_dir)
 
 
 def sample_light_index(cfg, u, no_sample):

@@ -57,26 +57,44 @@ def rotation_from_y(target):
     return rotation_between(AXIS_Y, target)
 
 
+def rotate_between_apply(fixed, target, v):
+    """Apply the Rodrigues rotation taking `fixed` to `target` directly to
+    vector(s) v, without materializing (N,3,3) matrices.
+
+    TPU note: building rotation matrices and batch-matvec'ing them lowers to
+    (N,3,3)x(N,3) dot_generals — pathological MXU shapes at wavefront batch
+    sizes. v' = v cos + (axis x v) + k (k.v)(1-cos) is pure VPU elementwise.
+    Matches rotation_between (la/cam_transform.py:51-68) incl. the +/-v
+    fallback at (anti)parallel inputs."""
+    fixed = jnp.broadcast_to(fixed, target.shape)
+    axis = jnp.cross(fixed, target)          # |axis| = sin(theta)
+    cos_t = dot(fixed, target, keepdims=True)
+    k = normalize(axis)
+    out = (v * cos_t + jnp.cross(axis, v)
+           + k * dot(k, v, keepdims=True) * (1.0 - cos_t))
+    parallel = jnp.abs(cos_t) >= 1.0 - 1e-5
+    return jnp.where(parallel, jnp.sign(cos_t) * v, out)
+
+
 def delocalize_rotate(anchor, local_dir):
-    """Local (y-up) frame -> global frame around `anchor`; returns (dir, R).
+    """Local (y-up) frame -> global frame around `anchor`.
 
     Reference: la/cam_transform.py:89-93."""
-    R = rotation_from_y(anchor)
-    return jnp.einsum("...ij,...j->...i", R, local_dir), R
+    return rotate_between_apply(AXIS_Y, anchor, local_dir)
 
 
 def localize_rotate(anchor, global_dir):
     """Global frame -> local y-up frame of `anchor`
     (reference la/cam_transform.py:95-99)."""
-    R = rotation_between(anchor, jnp.broadcast_to(AXIS_Y, anchor.shape))
-    return jnp.einsum("...ij,...j->...i", R, global_dir)
+    return rotate_between_apply(anchor,
+                                jnp.broadcast_to(AXIS_Y, anchor.shape),
+                                global_dir)
 
 
 def world_frame(local_anchor, global_anchor, local_dir):
     """Rotate `local_dir` by the rotation taking local_anchor->global_anchor
     (reference la/cam_transform.py:101-105)."""
-    R = rotation_between(local_anchor, global_anchor)
-    return jnp.einsum("...ij,...j->...i", R, local_dir)
+    return rotate_between_apply(local_anchor, global_anchor, local_dir)
 
 
 def convert_to_raw(d_in, normal):

@@ -12,7 +12,7 @@ import jax
 import jax.numpy as jnp
 
 from ..constants import MediumTag, INV_PI
-from .math3d import rotation_from_y
+from .math3d import rotate_between_apply, AXIS_Y
 from .sampling import random_rgb_channel
 
 _F4PI = 1.0 / (4.0 * jnp.pi)
@@ -92,8 +92,7 @@ def phase_sample(kind, par, lobe_pdf, incid, u, present_kinds):
             cos_t = jnp.where(m, c, cos_t)
             val = jnp.where(m, eval_rayleigh(c), val)
     local = _local_from_cos(cos_t, u[:, 1])
-    R = rotation_from_y(incid)
-    new_dir = jnp.einsum("nij,nj->ni", R, local)
+    new_dir = rotate_between_apply(AXIS_Y, incid, local)
     return new_dir, val
 
 

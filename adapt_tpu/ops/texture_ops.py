@@ -67,18 +67,15 @@ def process_ns(scene, cfg, it):
     pruned via cfg.has_normal_map / cfg.has_bump_map."""
     import dataclasses
     import jax.numpy as jnp
-    from .math3d import rotation_from_y, normalize
+    from .math3d import delocalize_rotate, normalize
     n_s = it.n_s
     if cfg.has_normal_map:
         normal, valid = get_uv_item(scene, scene.tex["normal"], it)
-        R = rotation_from_y(it.n_g)
-        mapped = jnp.einsum("...ij,...j->...i", R, normalize(normal))
+        mapped = delocalize_rotate(it.n_g, normalize(normal))
         n_s = jnp.where(valid[..., None], mapped, n_s)
     if cfg.has_bump_map:
         delta, valid = get_uv_item(scene, scene.tex["bump"], it)
-        R = rotation_from_y(n_s)
-        bumped = normalize(jnp.einsum("...ij,...j->...i", R,
-                                      normalize(delta)))
+        bumped = normalize(delocalize_rotate(n_s, normalize(delta)))
         n_s = jnp.where(valid[..., None], bumped, n_s)
     if n_s is it.n_s:
         return it

@@ -15,7 +15,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.intersect import ray_intersect
-from ..ops.math3d import dot, normalize, norm, rotation_from_y
+from ..ops.math3d import dot, normalize, norm, delocalize_rotate
 from ..ops.sampling import uniform_hemisphere
 from .base import ProgressiveRenderer, camera_rays
 
@@ -57,7 +57,6 @@ def render_pass_ssao(scene, cfg, key, cnt, depth_map):
 
     cam_normal = scene.cam_r @ jnp.array([0.0, 0.0, 1.0], jnp.float32)
     half_w, half_h = cfg.w * 0.5, cfg.h * 0.5
-    R_ns = rotation_from_y(it.n_s)
 
     def splat_depth(rd):
         """Rasterize a world direction into the film and query depth
@@ -81,7 +80,7 @@ def render_pass_ssao(scene, cfg, key, cnt, depth_map):
         key, sub = jax.random.split(key)
         u = jax.random.uniform(sub, (N, 2))
         local_dir, _ = uniform_hemisphere(u[:, 0], u[:, 1])
-        world_dir = jnp.einsum("nij,nj->ni", R_ns, local_dir)
+        world_dir = delocalize_rotate(it.n_s, local_dir)
         sample_p = pos + world_dir * cfg.sample_extent
         rd = sample_p - scene.cam_t[None, :]
         depth = norm(rd)
