@@ -52,12 +52,15 @@ class MatParams:
 
 def gather_mat(scene, obj_id) -> MatParams:
     """Gather per-object material tables by (clamped) object id."""
+    from .gather import tgather
     idx = jnp.maximum(obj_id, 0)
     return MatParams(
-        kind=scene.mat_type[idx], is_bsdf=scene.mat_is_bsdf[idx],
-        is_delta=scene.mat_is_delta[idx], kd=scene.mat_kd[idx],
-        ks=scene.mat_ks[idx], kg=scene.mat_kg[idx], mean=scene.mat_mean[idx],
-        ior=scene.medium.ior[idx])
+        kind=tgather(scene.mat_type, idx),
+        is_bsdf=tgather(scene.mat_is_bsdf, idx),
+        is_delta=tgather(scene.mat_is_delta, idx),
+        kd=tgather(scene.mat_kd, idx), ks=tgather(scene.mat_ks, idx),
+        kg=tgather(scene.mat_kg, idx), mean=tgather(scene.mat_mean, idx),
+        ior=tgather(scene.medium.ior, idx))
 
 
 def diffuse_color(mat, it):

@@ -13,6 +13,7 @@ import jax.numpy as jnp
 
 from ..constants import (EmitterTag, INV_PI, INV_2PI, BIT_POS_DELTA)
 from .math3d import dot, normalize, delocalize_rotate, norm
+from .gather import tgather
 from .sampling import (uniform_sphere, cosine_hemisphere, uniform_cone,
                        sample_triangle, concentric_disk)
 
@@ -44,24 +45,24 @@ def sample_light_index(cfg, u, no_sample):
 
 def _area_sample_hit(scene, eid, hit_pos, u):
     """Area-light branch of sample_hit (abtract_source.py:98-132)."""
-    obj = jnp.maximum(scene.emit_obj[eid], 0)
-    is_sphere = scene.obj_is_sphere[obj] > 0
-    start = scene.obj_start[obj]
-    cnt = jnp.maximum(scene.obj_cnt[obj], 1)
+    obj = jnp.maximum(tgather(scene.emit_obj, eid), 0)
+    is_sphere = tgather(scene.obj_is_sphere, obj) > 0
+    start = tgather(scene.obj_start, obj)
+    cnt = jnp.maximum(tgather(scene.obj_cnt, obj), 1)
 
     # triangle branch: uniform pick (assumes similar triangle areas, same
     # approximation as the reference)
     tri_local = jnp.minimum((u[:, 0] * cnt).astype(jnp.int32), cnt - 1)
     tri_id = start + tri_local
-    dv1 = scene.pre0[tri_id]
-    dv2 = scene.pre1[tri_id]
-    p_base = scene.pre2[tri_id]
+    dv1 = tgather(scene.pre0, tri_id)
+    dv2 = tgather(scene.pre1, tri_id)
+    p_base = tgather(scene.pre2, tri_id)
     tri_pos = sample_triangle(dv1, dv2, u[:, 1], u[:, 2]) + p_base
-    tri_normal = scene.prim_ng[tri_id]
+    tri_normal = tgather(scene.prim_ng, tri_id)
 
     # sphere branch: hemisphere toward the shading point
-    center = scene.pre0[start]            # sphere center in pre0
-    radius = scene.pre1[start][:, 0]
+    center = tgather(scene.pre0, start)            # sphere center in pre0
+    radius = tgather(scene.pre1, start)[:, 0]
     to_hit = normalize(hit_pos - center)
     local_dir, sph_pdf = uniform_sphere(u[:, 1], u[:, 2])
     sph_normal = _rotate(to_hit, local_dir)
@@ -74,7 +75,7 @@ def _area_sample_hit(scene, eid, hit_pos, u):
 
     ret_pos = jnp.where(is_sphere[..., None], sph_pos, tri_pos)
     normal = jnp.where(is_sphere[..., None], sph_normal, tri_normal)
-    ret_pdf = jnp.where(is_sphere, sph_pdf_area, scene.emit_inv_area[eid])
+    ret_pdf = jnp.where(is_sphere, sph_pdf_area, tgather(scene.emit_inv_area, eid))
 
     diff = hit_pos - ret_pos
     dot_light = dot(normalize(diff), normal)
@@ -83,7 +84,7 @@ def _area_sample_hit(scene, eid, hit_pos, u):
     ret_pdf = jnp.where(facing,
                         ret_pdf * diff_norm2 / jnp.maximum(dot_light, 1e-12),
                         1.0)
-    intensity = scene.emit_intensity[eid]
+    intensity = tgather(scene.emit_intensity, eid)
     ret_int = jnp.where((facing & (ret_pdf > 0.0))[..., None],
                         intensity / jnp.maximum(ret_pdf, 1e-12)[..., None],
                         0.0)
@@ -96,20 +97,20 @@ def sample_hit(scene, cfg, eid, hit_pos, u):
     `intensity` is already divided by the (solid-angle) pdf for area lights,
     matching the reference contract (abtract_source.py:82-158). u: (N,3)."""
     N = hit_pos.shape[0]
-    kind = scene.emit_kind[eid]
-    ret_pos = scene.emit_pos[eid]
-    ret_int = scene.emit_intensity[eid]
+    kind = tgather(scene.emit_kind, eid)
+    ret_pos = tgather(scene.emit_pos, eid)
+    ret_int = tgather(scene.emit_intensity, eid)
     ret_pdf = jnp.ones((N,), jnp.float32)
     normal = jnp.zeros((N, 3), jnp.float32)
 
     for k in cfg.emitter_kinds:
         m = kind == k
         if k == EmitterTag.POINT:
-            to_hit = hit_pos - scene.emit_pos[eid]
+            to_hit = hit_pos - tgather(scene.emit_pos, eid)
             atten = jnp.minimum(
                 1.0 / jnp.maximum(jnp.sum(to_hit * to_hit, -1), 1e-5), 1.0)
             ret_int = jnp.where(m[..., None],
-                                scene.emit_intensity[eid] * atten[..., None],
+                                tgather(scene.emit_intensity, eid) * atten[..., None],
                                 ret_int)
         elif k == EmitterTag.AREA:
             a_pos, a_int, a_pdf, a_n = _area_sample_hit(scene, eid, hit_pos, u)
@@ -118,19 +119,19 @@ def sample_hit(scene, cfg, eid, hit_pos, u):
             ret_pdf = jnp.where(m, a_pdf, ret_pdf)
             normal = jnp.where(m[..., None], a_n, normal)
         elif k == EmitterTag.SPOT:
-            to_hit = hit_pos - scene.emit_pos[eid]
+            to_hit = hit_pos - tgather(scene.emit_pos, eid)
             depth = jnp.maximum(norm(to_hit), 1e-5)
-            cos_val = dot(to_hit / depth[..., None], scene.emit_dir[eid])
-            in_cone = cos_val > scene.emit_r[eid]
+            cos_val = dot(to_hit / depth[..., None], tgather(scene.emit_dir, eid))
+            in_cone = cos_val > tgather(scene.emit_r, eid)
             s_int = jnp.where(in_cone[..., None],
-                              scene.emit_intensity[eid]
+                              tgather(scene.emit_intensity, eid)
                               / (depth * depth)[..., None], 0.0)
             ret_int = jnp.where(m[..., None], s_int, ret_int)
         elif k == EmitterTag.COLLIMATED:
             # deterministic back-projection onto the beam (abtract:142-157)
-            r = scene.emit_r[eid]
-            d = scene.emit_dir[eid]
-            to_hit = hit_pos - scene.emit_pos[eid]
+            r = tgather(scene.emit_r, eid)
+            d = tgather(scene.emit_dir, eid)
+            to_hit = hit_pos - tgather(scene.emit_pos, eid)
             proj = dot(to_hit, d)
             dist2 = jnp.maximum(jnp.sum(to_hit * to_hit, -1) - proj * proj,
                                 0.0)
@@ -139,7 +140,7 @@ def sample_hit(scene, cfg, eid, hit_pos, u):
             ret_pos = jnp.where((m & ok)[..., None], c_pos, ret_pos)
             ret_int = jnp.where(m[..., None],
                                 jnp.where(ok[..., None],
-                                          scene.emit_intensity[eid], 0.0),
+                                          tgather(scene.emit_intensity, eid), 0.0),
                                 ret_int)
             ret_pdf = jnp.where(m, jnp.where(ok, 0.0, 0.0), ret_pdf)
             normal = jnp.where((m & ok)[..., None], d, normal)
@@ -151,12 +152,12 @@ def sample_le(scene, cfg, eid, u):
 
     u: (N,4). Returns (ray_o, ray_d, pdf_pos, pdf_dir, normal)."""
     N = eid.shape[0]
-    ray_o = scene.emit_pos[eid]
+    ray_o = tgather(scene.emit_pos, eid)
     ray_d = jnp.tile(jnp.array([0.0, 1.0, 0.0], jnp.float32), (N, 1))
     normal = ray_d
     pdf_dir = jnp.zeros((N,), jnp.float32)
     pdf_pos = jnp.ones((N,), jnp.float32)
-    kind = scene.emit_kind[eid]
+    kind = tgather(scene.emit_kind, eid)
 
     for k in cfg.emitter_kinds:
         m = kind == k
@@ -166,19 +167,19 @@ def sample_le(scene, cfg, eid, u):
             normal = jnp.where(m[..., None], d, normal)
             pdf_dir = jnp.where(m, pdf, pdf_dir)
         elif k == EmitterTag.AREA:
-            obj = jnp.maximum(scene.emit_obj[eid], 0)
-            is_sphere = scene.obj_is_sphere[obj] > 0
-            start = scene.obj_start[obj]
-            cnt = jnp.maximum(scene.obj_cnt[obj], 1)
+            obj = jnp.maximum(tgather(scene.emit_obj, eid), 0)
+            is_sphere = tgather(scene.obj_is_sphere, obj) > 0
+            start = tgather(scene.obj_start, obj)
+            cnt = jnp.maximum(tgather(scene.obj_cnt, obj), 1)
             tri_local = jnp.minimum((u[:, 0] * cnt).astype(jnp.int32),
                                     cnt - 1)
             tri_id = start + tri_local
-            tri_n = scene.prim_ng[tri_id]
-            tri_o = sample_triangle(scene.pre0[tri_id], scene.pre1[tri_id],
-                                    u[:, 1], u[:, 2]) + scene.pre2[tri_id]
+            tri_n = tgather(scene.prim_ng, tri_id)
+            tri_o = sample_triangle(tgather(scene.pre0, tri_id), tgather(scene.pre1, tri_id),
+                                    u[:, 1], u[:, 2]) + tgather(scene.pre2, tri_id)
             sph_n, _ = uniform_sphere(u[:, 1], u[:, 2])
-            center = scene.pre0[start]
-            radius = scene.pre1[start][:, 0]
+            center = tgather(scene.pre0, start)
+            radius = tgather(scene.pre1, start)[:, 0]
             sph_o = center + sph_n * radius[..., None]
             a_n = jnp.where(is_sphere[..., None], sph_n, tri_n)
             a_o = jnp.where(is_sphere[..., None], sph_o, tri_o)
@@ -188,43 +189,43 @@ def sample_le(scene, cfg, eid, u):
             ray_d = jnp.where(m[..., None], a_d, ray_d)
             normal = jnp.where(m[..., None], a_n, normal)
             pdf_dir = jnp.where(m, c_pdf, pdf_dir)
-            pdf_pos = jnp.where(m, scene.emit_inv_area[eid], pdf_pos)
+            pdf_pos = jnp.where(m, tgather(scene.emit_inv_area, eid), pdf_pos)
         elif k == EmitterTag.SPOT:
-            local_d = uniform_cone(u[:, 0], u[:, 1], scene.emit_r[eid])
-            d = _rotate(scene.emit_dir[eid], local_d)
+            local_d = uniform_cone(u[:, 0], u[:, 1], tgather(scene.emit_r, eid))
+            d = _rotate(tgather(scene.emit_dir, eid), local_d)
             ray_d = jnp.where(m[..., None], d, ray_d)
-            normal = jnp.where(m[..., None], scene.emit_dir[eid], normal)
-            pdf_dir = jnp.where(m, INV_2PI / (1.0 - scene.emit_r[eid]),
+            normal = jnp.where(m[..., None], tgather(scene.emit_dir, eid), normal)
+            pdf_dir = jnp.where(m, INV_2PI / (1.0 - tgather(scene.emit_r, eid)),
                                 pdf_dir)
         elif k == EmitterTag.COLLIMATED:
-            d = scene.emit_dir[eid]
+            d = tgather(scene.emit_dir, eid)
             off = concentric_disk(u[:, 0], u[:, 1]) \
-                * scene.emit_r[eid][..., None]
+                * tgather(scene.emit_r, eid)[..., None]
             from .math3d import world_frame, AXIS_Y
-            o = scene.emit_pos[eid] + jnp.where(
-                (scene.emit_r[eid] > 0.0)[..., None],
+            o = tgather(scene.emit_pos, eid) + jnp.where(
+                (tgather(scene.emit_r, eid) > 0.0)[..., None],
                 world_frame(jnp.broadcast_to(AXIS_Y, d.shape), d, off), 0.0)
             ray_o = jnp.where(m[..., None], o, ray_o)
             ray_d = jnp.where(m[..., None], d, ray_d)
             normal = jnp.where(m[..., None], d, normal)
             pdf_dir = jnp.where(m, 1.0, pdf_dir)
-            pdf_pos = jnp.where(m, scene.emit_inv_area[eid], pdf_pos)
+            pdf_pos = jnp.where(m, tgather(scene.emit_inv_area, eid), pdf_pos)
     return ray_o, ray_d, pdf_pos, pdf_dir, normal
 
 
 def eval_le(scene, eid, inci_dir, normal):
     """Area-light radiance toward -inci_dir (abtract_source.py:210-218)."""
-    is_area = scene.emit_kind[eid] == EmitterTag.AREA
+    is_area = tgather(scene.emit_kind, eid) == EmitterTag.AREA
     dot_light = -dot(normalize(inci_dir), normal)
     lit = is_area & (dot_light > 0.0)
-    return jnp.where(lit[..., None], scene.emit_intensity[eid], 0.0)
+    return jnp.where(lit[..., None], tgather(scene.emit_intensity, eid), 0.0)
 
 
 def solid_angle_pdf(scene, eid, n_s, depth, incid_dir):
     """Area pdf -> solid-angle pdf for hitting an area light
     (abtract_source.py:220-232)."""
-    area_pdf = jnp.where(scene.emit_kind[eid] == EmitterTag.AREA,
-                         scene.emit_inv_area[eid], 0.0)
+    area_pdf = jnp.where(tgather(scene.emit_kind, eid) == EmitterTag.AREA,
+                         tgather(scene.emit_inv_area, eid), 0.0)
     dot_res = jnp.abs(dot(incid_dir, n_s))
     return jnp.where(dot_res > 0.0,
                      area_pdf * depth * depth / jnp.maximum(dot_res, 1e-12),
@@ -233,14 +234,14 @@ def solid_angle_pdf(scene, eid, n_s, depth, incid_dir):
 
 def direction_pdf(scene, cfg, eid, exit_dir, light_n):
     """Solid-angle pdf of sample_le directions (abtract_source.py:234-244)."""
-    kind = scene.emit_kind[eid]
+    kind = tgather(scene.emit_kind, eid)
     pdf = jnp.zeros(eid.shape, jnp.float32)
     for k in cfg.emitter_kinds:
         m = kind == k
         if k == EmitterTag.POINT:
             pdf = jnp.where(m, INV_PI * 0.25, pdf)
         elif k == EmitterTag.SPOT:
-            pdf = jnp.where(m, INV_2PI / (1.0 - scene.emit_r[eid]), pdf)
+            pdf = jnp.where(m, INV_2PI / (1.0 - tgather(scene.emit_r, eid)), pdf)
         elif k == EmitterTag.AREA:
             pdf = jnp.where(
                 m, jnp.maximum(dot(exit_dir, light_n), 0.0) * INV_PI, pdf)
@@ -248,4 +249,4 @@ def direction_pdf(scene, cfg, eid, exit_dir, light_n):
 
 
 def is_delta_pos(scene, eid):
-    return (scene.emit_bits[eid] & BIT_POS_DELTA) > 0
+    return (tgather(scene.emit_bits, eid) & BIT_POS_DELTA) > 0

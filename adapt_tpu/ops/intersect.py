@@ -158,20 +158,23 @@ def ray_intersect(scene, cfg, ray_o, ray_d, max_t=None):
         ops = _tri_chunks(scene, chunk)
 
         def body(carry, op):
+            from .gather import select_along
             bt, bp, bu, bv = carry
             tn, td, tU, tV, tcu, tcv, gid = op
             t, u, v, valid = _tri_hit_chunk(ray_o, ray_d, tn, td, tU, tV,
                                             tcu, tcv)
             valid &= (gid >= 0)[None, :]
             t = jnp.where(valid, t, FAR)
+            # argmin + one-hot selection (per-lane gathers are slow on TPU)
             idx = jnp.argmin(jnp.where(t < bt[:, None], t, FAR), axis=1)
-            cand_t = jnp.take_along_axis(t, idx[:, None], axis=1)[:, 0]
+            cand_t = select_along(t, idx)
             better = cand_t < bt
             sel = lambda new, old: jnp.where(better, new, old)
             bt = sel(cand_t, bt)
-            bp = sel(gid[idx], bp)
-            bu = sel(jnp.take_along_axis(u, idx[:, None], 1)[:, 0], bu)
-            bv = sel(jnp.take_along_axis(v, idx[:, None], 1)[:, 0], bv)
+            bp = sel(select_along(jnp.broadcast_to(gid[None, :], t.shape),
+                                  idx), bp)
+            bu = sel(select_along(u, idx), bu)
+            bv = sel(select_along(v, idx), bv)
             return (bt, bp, bu, bv), None
 
         (best_t, best_prim, best_u, best_v), _ = jax.lax.scan(
@@ -180,13 +183,15 @@ def ray_intersect(scene, cfg, ray_o, ray_d, max_t=None):
     S = scene.sph_center.shape[0]
     is_sphere_hit = jnp.zeros((N,), bool)
     if S > 0:
+        from .gather import select_along
         ts = _sphere_hit(ray_o, ray_d, scene.sph_center, scene.sph_radius)
         ts = jnp.where(ts > RAY_EPS, ts, FAR)
         si = jnp.argmin(ts, axis=1)
-        st = jnp.take_along_axis(ts, si[:, None], 1)[:, 0]
+        st = select_along(ts, si)
         better = st < best_t
+        gids = jnp.broadcast_to(scene.sph_gid[None, :], ts.shape)
+        best_prim = jnp.where(better, select_along(gids, si), best_prim)
         best_t = jnp.where(better, st, best_t)
-        best_prim = jnp.where(better, scene.sph_gid[si], best_prim)
         is_sphere_hit = better
 
     return _assemble_interaction(scene, cfg, ray_o, ray_d, best_t,
@@ -197,6 +202,7 @@ def _assemble_interaction(scene, cfg, ray_o, ray_d, best_t, best_prim,
                           best_u, best_v, is_sphere_hit):
     """Build the Interaction record from raw hit data
     (reference tracer_base.py:215-237)."""
+    from .gather import tgather
     N = ray_o.shape[0]
     hit = best_prim >= 0
     prim = jnp.maximum(best_prim, 0)
@@ -204,10 +210,10 @@ def _assemble_interaction(scene, cfg, ray_o, ray_d, best_t, best_prim,
     S = scene.sph_center.shape[0]
 
     # --- normals / uv assembly (reference tracer_base.py:215-237) ---
-    n_g_tri = scene.prim_ng[prim]
+    n_g_tri = tgather(scene.prim_ng, prim)
     hit_p = ray_o + best_t[:, None] * ray_d
     if S > 0:
-        center = scene.pre0[prim]  # sphere center lives in pre0
+        center = tgather(scene.pre0, prim)  # sphere center lives in pre0
         n_sphere = normalize(hit_p - center)
         sph_u = (jnp.arctan2(n_sphere[..., 1], n_sphere[..., 0]) + jnp.pi) \
             * INV_2PI
@@ -219,7 +225,7 @@ def _assemble_interaction(scene, cfg, ray_o, ray_d, best_t, best_prim,
         n_g = n_g_tri
 
     if cfg.has_v_normal:
-        vn = scene.prim_vn[prim]                          # (N,3,3)
+        vn = tgather(scene.prim_vn, prim)                 # (N,3,3)
         w0 = (1.0 - best_u - best_v)[:, None]
         n_s_tri = vn[:, 0] * w0 + vn[:, 1] * best_u[:, None] \
             + vn[:, 2] * best_v[:, None]
@@ -245,10 +251,13 @@ def _assemble_interaction(scene, cfg, ray_o, ray_d, best_t, best_prim,
 
 
 def _prim_to_obj(scene, prim, is_sphere_hit):
-    """Global prim id -> object id via the per-object start offsets."""
-    # obj_start is sorted; searchsorted gives the owning object.
-    return (jnp.searchsorted(scene.obj_start, prim, side="right") - 1) \
-        .astype(jnp.int32)
+    """Global prim id -> object id.
+
+    TPU note: a precomputed (P,) table gather, NOT jnp.searchsorted — the
+    binary search lowers to a serialized while_loop that cost ~25 ms per
+    bounce at 512^2 (it was the single dominant op in the whole pass)."""
+    from .gather import tgather
+    return tgather(scene.prim_obj, prim)
 
 
 def does_intersect(scene, cfg, ray_o, ray_d, max_t=None):

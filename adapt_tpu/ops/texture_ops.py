@@ -33,26 +33,27 @@ def query_texture(table, obj_id, u, v):
     """Per-ray texture query; returns ((N,3) color, (N,) valid mask).
 
     Invalid where the object has no texture in this tag (mode == -255)."""
+    from .gather import tgather
     idx = jnp.maximum(obj_id, 0)
-    mode = table.mode[idx]
+    mode = tgather(table.mode, idx)
     valid = (obj_id >= 0) & (mode > -255)
 
-    w = jnp.maximum(table.w[idx], 2.0)
-    h = jnp.maximum(table.h[idx], 2.0)
-    su = u * table.scale_u[idx] * w
-    sv = v * table.scale_v[idx] * h
+    w = jnp.maximum(tgather(table.w, idx), 2.0)
+    h = jnp.maximum(tgather(table.h, idx), 2.0)
+    su = u * tgather(table.scale_u, idx) * w
+    sv = v * tgather(table.scale_v, idx) * h
     # wrap to [0, dim-1) like the reference's float mod (texture.py:120-121)
     su = jnp.mod(su, w - 1.0)
     sv = jnp.mod(sv, h - 1.0)
-    x = su + table.off_x[idx].astype(jnp.float32)
-    y = sv + table.off_y[idx].astype(jnp.float32)
+    x = su + tgather(table.off_x, idx).astype(jnp.float32)
+    y = sv + tgather(table.off_y, idx).astype(jnp.float32)
     img_color = _bilinear(table.atlas, x, y)
 
     # checkerboard (mode 1): two colors on a unit grid
     checker = (jnp.floor(u * 2.0 * table.scale_u[idx])
                + jnp.floor(v * 2.0 * table.scale_v[idx])) % 2.0
-    chk_color = jnp.where(checker[..., None] > 0.5, table.c2[idx],
-                          table.c1[idx])
+    chk_color = jnp.where(checker[..., None] > 0.5, tgather(table.c2, idx),
+                          tgather(table.c1, idx))
     color = jnp.where((mode == 1)[..., None], chk_color, img_color)
     color = jnp.where(valid[..., None], color, -1.0)
     return color, valid
@@ -85,10 +86,11 @@ def process_ns(scene, cfg, it):
 def get_uv_item(scene, table, it):
     """Local barycentric uv -> global uv -> texture color
     (reference path_tracer.py:276-289)."""
+    from .gather import tgather
     prim = it.prim_id
     obj = jnp.maximum(it.obj_id, 0)
-    is_sphere = scene.obj_is_sphere[obj] > 0
-    uvc = scene.prim_uv[prim]           # (N,3,2)
+    is_sphere = tgather(scene.obj_is_sphere, obj) > 0
+    uvc = tgather(scene.prim_uv, prim)  # (N,3,2)
     lu, lv = it.uv[..., 0], it.uv[..., 1]
     w0 = (1.0 - lu - lv)[..., None]
     tri_uv = uvc[:, 1] * lu[..., None] + uvc[:, 2] * lv[..., None] \

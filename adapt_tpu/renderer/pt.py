@@ -26,8 +26,10 @@ from .base import ProgressiveRenderer, camera_rays, crop_mask
 
 def _hit_light(scene, it):
     """Emitter id attached to the hit object, -1 if none / miss."""
+    from ..ops.gather import tgather
     return jnp.where(it.obj_id >= 0,
-                     scene.obj_emitter[jnp.maximum(it.obj_id, 0)], -1)
+                     tgather(scene.obj_emitter, jnp.maximum(it.obj_id, 0)),
+                     -1)
 
 
 @partial(jax.jit, static_argnames=("cfg", "spp"))
@@ -158,8 +160,9 @@ def trace_pt(scene, cfg, key, ray_o, ray_d):
         new_it = ray_intersect(scene, cfg, hit_point, new_dir)
         new_hit_light = _hit_light(scene, new_it)
         if cfg.use_mis:
+            from ..ops.gather import tgather
             obj = jnp.maximum(new_it.obj_id, 0)
-            surf_delta = scene.mat_is_delta[obj]
+            surf_delta = tgather(scene.mat_is_delta, obj)
             can_mis = (new_hit_light >= 0) & ~surf_delta & ~is_specular
             e_pdf = jnp.where(
                 can_mis,

@@ -39,7 +39,8 @@ TRACK_STEPS = 7       # max medium interfaces along a shadow ray (vpt.py:113)
 
 def _gather_rows(table, idx):
     """Gather per-lane rows from a MediumTable."""
-    return {f: getattr(table, f)[idx] for f in
+    from ..ops.gather import tgather
+    return {f: tgather(getattr(table, f), idx) for f in
             ("kind", "ior", "u_a", "u_s", "u_e", "ph_par", "ph_pdf")}
 
 
@@ -62,8 +63,10 @@ def effective_medium(scene, cfg, obj_id, in_free_space):
 
 def _is_null_surface(scene, obj_id):
     """Null BSDF = medium boundary (reference bsdf.py:238-240)."""
+    from ..ops.gather import tgather
     idx = jnp.maximum(obj_id, 0)
-    return (obj_id >= 0) & scene.mat_is_bsdf[idx] & (scene.mat_type[idx] < 0)
+    return (obj_id >= 0) & tgather(scene.mat_is_bsdf, idx) \
+        & (tgather(scene.mat_type, idx) < 0)
 
 
 def world_bound_time(scene, ray_o, ray_d):
@@ -224,8 +227,10 @@ def trace_vpt(scene, cfg, key, ray_o, ray_d):
         is_null = ~is_mi & _is_null_surface(scene, obj_id)
         shade = active & ~is_null
 
+        from ..ops.gather import tgather
         hit_light = jnp.where(is_mi | miss, -1,
-                              scene.obj_emitter[jnp.maximum(obj_id, 0)])
+                              tgather(scene.obj_emitter,
+                                      jnp.maximum(obj_id, 0)))
         mat = bxdf_ops.gather_mat(scene, obj_id)
         it = process_ns(scene, cfg, it)
         tex, _ = get_uv_item(scene, scene.tex["albedo"], it)

@@ -138,6 +138,7 @@ class SceneData:
     bvh_prim: jnp.ndarray       # (P,) traversal order -> global prim id
     # full-length per-prim test data (triangle plane/dual-basis; zeros for
     # sphere prims which use pre0/pre1 instead)
+    prim_obj: jnp.ndarray        # (P,) i32 owning object
     prim_is_sphere: jnp.ndarray  # (P,) bool
     prim_n: jnp.ndarray          # (P,3)
     prim_d: jnp.ndarray          # (P,)
@@ -473,6 +474,7 @@ def compile_scene(emitters, array_info, objects, configs, scene_dir="."):
         cam_t=jnp.asarray(cam_t),
         tex=tex_tables,
         volume=vol_data,
+        prim_obj=jnp.asarray(prim_obj),
         prim_is_sphere=jnp.asarray(prim_is_sphere),
         prim_n=jnp.asarray(prim_n),
         prim_d=jnp.asarray(prim_d),

@@ -47,7 +47,13 @@ class TextureRec:
             from PIL import Image
             file_path = elem.find("string").get("value")
             if not os.path.exists(file_path):
-                raise ValueError(f"Texture image '{file_path}' does not exist")
+                # missing asset: degrade to an untextured material instead of
+                # refusing to render the whole scene
+                import warnings
+                warnings.warn(f"texture image '{file_path}' not found; "
+                              f"texture '{self.id}' disabled")
+                self.mode = MODE_INVALID
+                return
             img = Image.open(file_path).convert("RGB")
             w, h = img.size
             if h > max_size or w > max_size:
