@@ -32,17 +32,47 @@ def _hit_light(scene, it):
                      -1)
 
 
-@partial(jax.jit, static_argnames=("cfg", "spp"))
-def render_batch_pt(scene, cfg, key, cnt0, spp):
-    """spp progressive samples accumulated inside one jit call (amortizes
-    host->device dispatch, the dominant cost for small per-pass work).
-    Returns the SUM of spp per-pixel radiance estimates, (N, 3)."""
+@partial(jax.jit, static_argnames=("cfg", "spp", "fuse"))
+def render_batch_pt(scene, cfg, key, cnt0, spp, fuse=1):
+    """spp progressive samples accumulated inside one jit call.
+
+    fuse: samples traced together as one (fuse*N,3) wavefront per loop
+    iteration. TPU profiling shows the bounce pipeline is launch-overhead
+    bound (device ~95% idle at N=512^2); wider wavefronts amortize the
+    fixed per-fusion cost. Returns the SUM of spp estimates, (N, 3)."""
+    fuse = max(1, min(fuse, spp))
+    iters = spp // fuse
+    N = cfg.n_pixels
+
     def body(i, acc):
         sub = jax.random.fold_in(key, i)
-        return acc + jnp.nan_to_num(
-            _render_pass_impl(scene, cfg, sub, cnt0 + i), nan=0.0)
-    init = jnp.zeros((cfg.n_pixels, 3), jnp.float32)
-    return jax.lax.fori_loop(0, spp, body, init)
+        keys = [jax.random.fold_in(sub, j) for j in range(fuse)]
+        ros, rds = [], []
+        for j, k in enumerate(keys):
+            k_cam, _ = jax.random.split(k)
+            ro, rd = camera_rays(scene, cfg, k_cam, cnt0 + i * fuse + j)
+            ros.append(ro)
+            rds.append(rd)
+        ray_o = jnp.concatenate(ros, axis=0)
+        ray_d = jnp.concatenate(rds, axis=0)
+        k_tr = jax.random.fold_in(sub, 7919)
+        color = trace_pt(scene, cfg, k_tr, ray_o, ray_d)
+        color = jnp.nan_to_num(color, nan=0.0)
+        color = color.reshape(fuse, N, 3).sum(0)
+        mask = crop_mask(cfg)
+        if mask is not None:
+            color = jnp.where(mask[..., None], color, 0.0)
+        return acc + color
+
+    acc = jax.lax.fori_loop(0, iters, body,
+                            jnp.zeros((N, 3), jnp.float32))
+    # remainder samples one at a time
+    for r in range(spp - iters * fuse):
+        sub = jax.random.fold_in(key, iters + 1000 + r)
+        acc = acc + jnp.nan_to_num(
+            _render_pass_impl(scene, cfg, sub, cnt0 + iters * fuse + r),
+            nan=0.0)
+    return acc
 
 
 @partial(jax.jit, static_argnames=("cfg",))

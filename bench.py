@@ -33,16 +33,20 @@ def main():
     cfg = dataclasses.replace(cfg, max_bounce=8)
 
     key = jax.random.PRNGKey(0)
-    iters = int(os.environ.get("BENCH_ITERS", "16"))
-    # compile + warmup (one fused multi-spp dispatch)
-    out = render_batch_pt(scene, cfg, key, jnp.int32(1), iters)
+    iters = int(os.environ.get("BENCH_ITERS", "32"))
+    fuse = int(os.environ.get("BENCH_FUSE", "4"))
+    # compile + warmup (one fused multi-spp dispatch; fuse samples ride one
+    # wavefront to amortize per-fusion launch overhead)
+    out = render_batch_pt(scene, cfg, key, jnp.int32(1), iters, fuse)
     jax.block_until_ready(out)
 
+    reps = 3
     t0 = time.perf_counter()
-    out = render_batch_pt(scene, cfg, jax.random.fold_in(key, 1),
-                          jnp.int32(iters + 1), iters)
+    for r in range(reps):
+        out = render_batch_pt(scene, cfg, jax.random.fold_in(key, r + 1),
+                              jnp.int32(iters + 1), iters, fuse)
     jax.block_until_ready(out)
-    dt = time.perf_counter() - t0
+    dt = (time.perf_counter() - t0) / reps
 
     rays_per_pass = cfg.n_pixels * (
         1 + cfg.max_bounce * (cfg.num_shadow_ray + 1))
