@@ -14,6 +14,7 @@ import jax.numpy as jnp
 from ..constants import MediumTag, INV_PI
 from .math3d import rotate_between_apply, AXIS_Y
 from .sampling import random_rgb_channel
+from .gather import select_along
 
 _F4PI = 1.0 / (4.0 * jnp.pi)
 
@@ -81,7 +82,7 @@ def phase_sample(kind, par, lobe_pdf, incid, u, present_kinds):
             cdf1 = cdf0 + lobe_pdf[:, 1]
             lobe = (u[:, 2] >= cdf0).astype(jnp.int32) \
                 + (u[:, 2] >= cdf1).astype(jnp.int32)
-            g_sel = jnp.take_along_axis(par, lobe[:, None], axis=1)[:, 0]
+            g_sel = select_along(par, lobe)
             c = sample_hg(g_sel, u[:, 0])
             mix = (lobe_pdf * jnp.stack(
                 [eval_hg(par[:, i], c) for i in range(3)], axis=-1)).sum(-1)

@@ -9,6 +9,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from ..constants import INV_PI, INV_2PI, INV_4PI, PI2, PI_DIV2, PI_DIV4
+from .gather import select_along
 
 
 def _spherical(cos_theta, phi):
@@ -108,5 +109,5 @@ def random_rgb_channel(u, vector):
 
     Mirrors reference general_sampling.py:16-27 (value floored at 1e-5)."""
     idx = jnp.minimum((u * 3.0).astype(jnp.int32), 2)
-    val = jnp.take_along_axis(vector, idx[..., None], axis=-1)[..., 0]
+    val = select_along(vector, idx)
     return jnp.maximum(val, 1e-5), idx

@@ -20,6 +20,7 @@ import jax
 import jax.numpy as jnp
 
 from ..constants import VolumeTag
+from .gather import select_along, tgather
 
 MAX_STEPS = 1024
 
@@ -111,8 +112,8 @@ def _pick_channel(vol, thp, u):
     cdf0 = pdfs[:, 0]
     cdf1 = cdf0 + pdfs[:, 1]
     ch = (u > cdf0).astype(jnp.int32) + (u > cdf1).astype(jnp.int32)
-    pdf = jnp.take_along_axis(pdfs, ch[:, None], 1)[:, 0]
-    maj = vol.majorant[ch]
+    pdf = select_along(pdfs, ch)
+    maj = tgather(vol.majorant, ch)
     return ch, pdf, maj
 
 
@@ -136,7 +137,7 @@ def sample_distance_delta_tracking(vol, kind, key, ray_o, ray_d, thp, max_t):
     u_ch = jax.random.uniform(k_ch, (N,))
     ch, pdf, maj = _pick_channel(vol, thp, u_ch)
     inv_maj = 1.0 / maj
-    albedo = vol.albedo[ch]
+    albedo = tgather(vol.albedo, ch)
 
     t0 = near - jnp.log(1.0 - jax.random.uniform(k_t0, (N,))) * inv_maj
     valid = (near < far) & (far > 0.0)
@@ -151,7 +152,7 @@ def sample_distance_delta_tracking(vol, kind, key, ray_o, ray_d, thp, max_t):
         k = jax.random.fold_in(key, st["step"])
         u = jax.random.uniform(k, (N, 5))
         d = _density_lookup(vol, lo + st["t"][:, None] * ld, u[:, :3])
-        n_t = jnp.take_along_axis(d, ch[:, None], 1)[:, 0]
+        n_t = select_along(d, ch)
         collide = (~st["done"]) & (u[:, 3] < n_t * inv_maj)
         hit_t = jnp.where(collide, st["t"], st["hit_t"])
         tr = jnp.where(collide, st["tr"] * albedo, st["tr"])
@@ -189,7 +190,7 @@ def eval_tr_ratio_tracking(vol, kind, key, ray_o, ray_d, thp, max_t):
         t = st["t"] - jnp.log(1.0 - u[:, 4]) * inv_maj
         exited = t >= far
         d = _density_lookup(vol, lo + t[:, None] * ld, u[:, :3])
-        n_t = jnp.take_along_axis(d, ch[:, None], 1)[:, 0]
+        n_t = select_along(d, ch)
         live = ~st["done"] & ~exited
         tr = jnp.where(live, st["tr"] * jnp.maximum(
             0.0, 1.0 - n_t * inv_maj), st["tr"])
