@@ -141,6 +141,39 @@ def render_pass_vpt(scene, cfg, key, cnt):
     return color
 
 
+@partial(jax.jit, static_argnames=("cfg", "spp", "fuse"))
+def render_batch_vpt(scene, cfg, key, cnt0, spp, fuse=1):
+    """spp samples in one dispatch; fuse samples share one wide wavefront
+    (same launch-overhead amortization as renderer/pt.py)."""
+    fuse = max(1, min(fuse, spp))
+    iters = spp // fuse
+    N = cfg.n_pixels
+
+    def body(i, acc):
+        sub = jax.random.fold_in(key, i)
+        ros, rds = [], []
+        for j in range(fuse):
+            k_cam, _ = jax.random.split(jax.random.fold_in(sub, j))
+            ro, rd = camera_rays(scene, cfg, k_cam, cnt0 + i * fuse + j)
+            ros.append(ro)
+            rds.append(rd)
+        color = trace_vpt(scene, cfg, jax.random.fold_in(sub, 7919),
+                          jnp.concatenate(ros, 0), jnp.concatenate(rds, 0))
+        color = jnp.nan_to_num(color, nan=0.0).reshape(fuse, N, 3).sum(0)
+        mask = crop_mask(cfg)
+        if mask is not None:
+            color = jnp.where(mask[..., None], color, 0.0)
+        return acc + color
+
+    acc = jax.lax.fori_loop(0, iters, body, jnp.zeros((N, 3), jnp.float32))
+    for r in range(spp - iters * fuse):
+        sub = jax.random.fold_in(key, iters + 1000 + r)
+        acc = acc + jnp.nan_to_num(
+            render_pass_vpt(scene, cfg, sub, cnt0 + iters * fuse + r),
+            nan=0.0)
+    return acc
+
+
 def trace_vpt(scene, cfg, key, ray_o, ray_d):
     """Trace a (N,3) wavefront with participating media."""
     N = ray_o.shape[0]
@@ -340,3 +373,11 @@ class VolumeRenderer(ProgressiveRenderer):
     def render_pass(self, key, cnt):
         return render_pass_vpt(self.scene, self.cfg, key,
                                jnp.asarray(cnt, jnp.int32))
+
+    def render_batch(self, spp: int, fuse: int = 4):
+        self.key, sub = jax.random.split(self.key)
+        acc = render_batch_vpt(self.scene, self.cfg, sub,
+                               jnp.int32(self.cnt + 1), spp, fuse)
+        self.cnt += spp
+        self.color = self.color + acc.reshape(self.cfg.w, self.cfg.h, 3)
+        return self.color
