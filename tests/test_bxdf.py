@@ -69,6 +69,7 @@ def make_it(n=N):
 
 class Cfg:
     brdf_types = tuple(range(8))
+    bsdf_types = ()
     brdf_two_sides = False
 
 
