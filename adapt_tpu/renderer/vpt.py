@@ -103,8 +103,14 @@ def track_ray(scene, cfg, start_p, ray_d, depth, key=None, thp=None):
             scene.volume, cfg.volume_kind, k_vol, start_p, ray_d,
             jnp.ones((N, 3)) if thp is None else thp, depth)
 
-    def body(_s, st):
-        tr, acc, p, remaining, alive = st
+    def cond(st):
+        # early all-lane exit: most shadow segments resolve in 1-2 steps
+        # (blocked or target reached); the reference walks each ray
+        # divergently (vpt.py:113-136), we stop when every lane is done
+        return jnp.any(st[4]) & (st[5] < TRACK_STEPS)
+
+    def body(st):
+        tr, acc, p, remaining, alive, step = st
         it = ray_intersect(scene, cfg, p, ray_d, max_t=remaining)
         miss = ~it.is_hit
         seg = jnp.where(miss, remaining, it.t)
@@ -122,11 +128,11 @@ def track_ray(scene, cfg, start_p, ray_d, depth, key=None, thp=None):
         alive = alive & ~blocked & (remaining > 5e-5)
         if not cfg.world_scattering:
             alive &= ~miss
-        return tr, acc, p, remaining, alive
+        return tr, acc, p, remaining, alive, step + 1
 
     init = (jnp.ones((N, 3), jnp.float32), jnp.zeros((N,), jnp.float32),
-            start_p, depth, jnp.ones((N,), bool))
-    tr, acc, *_ = jax.lax.fori_loop(0, TRACK_STEPS, body, init)
+            start_p, depth, jnp.ones((N,), bool), jnp.int32(0))
+    tr, acc, *_ = jax.lax.while_loop(cond, body, init)
     return tr * vol_tr, acc
 
 
