@@ -67,7 +67,13 @@ class GridVolumeRec:
                 path = candidate
                 break
         else:
-            raise FileNotFoundError(f"volume file '{path}' not found")
+            # missing asset: degrade to no-volume instead of refusing the
+            # whole scene (the reference's .vol packs are not shipped here)
+            import warnings
+            warnings.warn(f"volume file '{path}' not found; grid volume "
+                          f"disabled for this scene")
+            self.type_id = VolumeTag.NONE
+            return
 
         from ..native import vol_file_to_numpy
         grid = vol_file_to_numpy(path)            # (Z, Y, X, 3)

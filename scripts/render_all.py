@@ -1,0 +1,78 @@
+#!/usr/bin/env python
+"""Smoke-render every renderable shipped scene at low resolution.
+
+Catches per-scene compile/render breakage across all BxDF/emitter/media
+combinations. Not part of the pytest suite (compile-heavy); run manually:
+
+    PYTHONPATH= JAX_PLATFORMS=cpu python scripts/render_all.py
+"""
+import dataclasses
+import os
+import sys
+import time
+import warnings
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                ".."))
+warnings.filterwarnings("ignore")
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+
+from adapt_tpu.scene.compile import load_scene
+from adapt_tpu.renderer.pt import render_pass_pt
+from adapt_tpu.renderer.vpt import render_pass_vpt
+from adapt_tpu.renderer.bdpt import render_pass_bdpt
+
+RES = 32
+SCENES = [
+    ("cbox", "cbox.xml", "pt"), ("cbox", "cbox-point.xml", "pt"),
+    ("cbox", "cbox-volgrid.xml", "vpt"), ("cbox", "cbox-rgbvol.xml", "vpt"),
+    ("csphere", "balls-glossy.xml", "pt"), ("csphere", "balls-mono.xml", "pt"),
+    ("csphere", "balls-multi.xml", "pt"), ("csphere", "big.xml", "pt"),
+    ("csphere", "mix-balls.xml", "pt"), ("csphere", "single-ball.xml", "pt"),
+    ("vpt", "balls.xml", "vpt"), ("vpt", "cbox.xml", "vpt"),
+    ("vpt", "volbox.xml", "vpt"),
+    ("trans", "cbox-point.xml", "bdpt"),
+    ("trans", "cbox-collimated.xml", "bdpt"),
+    ("trans", "balls-mono.xml", "bdpt"),
+]
+
+
+def main():
+    root = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..",
+                        "scenes")
+    failed = []
+    for suite, name, kind in SCENES:
+        t0 = time.time()
+        try:
+            scene, cfg, _ = load_scene(os.path.join(root, suite), name)
+            cfg = dataclasses.replace(
+                cfg, w=RES, h=RES, focal=cfg.focal * RES / min(cfg.w, cfg.h),
+                start_x=0, end_x=RES, start_y=0, end_y=RES,
+                max_bounce=min(cfg.max_bounce, 4))
+            key = jax.random.PRNGKey(0)
+            if kind == "pt":
+                img = render_pass_pt(scene, cfg, key, jnp.int32(1))
+            elif kind == "vpt":
+                img = render_pass_vpt(scene, cfg, key, jnp.int32(1))
+            else:
+                img, _b, _c = render_pass_bdpt(scene, cfg, key, jnp.int32(1))
+            img = np.asarray(img)
+            assert np.isfinite(img).all(), "non-finite radiance"
+            assert img.max() > 1e-6, "black image"
+            print(f"OK   {suite}/{name:<24} ({kind}) mean={img.mean():.4f} "
+                  f"[{time.time() - t0:.1f}s]")
+        except Exception as e:
+            failed.append((suite, name, str(e)[:100]))
+            print(f"FAIL {suite}/{name:<24} ({kind}) -- {str(e)[:90]}")
+    if failed:
+        sys.exit(1)
+    print("all scenes rendered")
+
+
+if __name__ == "__main__":
+    main()
