@@ -351,8 +351,10 @@ def trace_vpt(scene, cfg, key, ray_o, ray_d):
         if cfg.use_mis:
             it_n = ray_intersect(scene, cfg, hit_point, out_dir)
             nl = jnp.where(it_n.obj_id >= 0,
-                           scene.obj_emitter[jnp.maximum(it_n.obj_id, 0)], -1)
-            n_delta = scene.mat_is_delta[jnp.maximum(it_n.obj_id, 0)]
+                           tgather(scene.obj_emitter,
+                                   jnp.maximum(it_n.obj_id, 0)), -1)
+            n_delta = tgather(scene.mat_is_delta,
+                              jnp.maximum(it_n.obj_id, 0))
             can = (nl >= 0) & ~n_delta & ~is_specular
             e_pdf = jnp.where(can, emitter_ops.solid_angle_pdf(
                 scene, jnp.maximum(nl, 0), it_n.n_s, it_n.t, out_dir), 0.0)
