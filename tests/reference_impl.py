@@ -62,3 +62,30 @@ def direct_lighting_point(ray_o, ray_d, tris, tri_obj, albedo, normals,
     atten = min(1.0 / max(d * d, 1e-5), 1.0)
     kd = albedo[tri_obj[prim]]
     return kd / np.pi * np.dot(n, ld) * light_int * atten
+
+
+def blinn_phong_direct(ray_o, ray_d, tris, tri_obj, kd, ks, kg, normals,
+                       light_pos, light_int):
+    """Blinn-Phong preview shading for one ray (reference
+    direct_render.py:26-134 contract): diffuse kd*cos(n,l) + specular
+    ks*cos(n,h)^shininess, point-light 1/d^2 falloff capped at 1, hard
+    shadow, no emission."""
+    t, prim, _, _ = mt_intersect(ray_o, ray_d, tris)
+    if prim < 0:
+        return np.zeros(3)
+    hit = ray_o + t * ray_d
+    n = normals[prim]
+    to_l = light_pos - hit
+    d = np.linalg.norm(to_l)
+    ld = to_l / d
+    if mt_occluded(hit, ld, d, tris):
+        return np.zeros(3)
+    half = ld - ray_d
+    half = half / np.linalg.norm(half)
+    cos_n = max(np.dot(n, ld), 0.0)
+    spec_cos = max(np.dot(n, half), 0.0)
+    o = tri_obj[prim]
+    shininess = max(kg[o][0], 1.0)
+    atten = min(1.0 / max(d * d, 1e-5), 1.0)
+    return (kd[o] * cos_n + ks[o] * spec_cos ** shininess) \
+        * light_int * atten
