@@ -153,7 +153,14 @@ def ray_intersect(scene, cfg, ray_o, ray_d, max_t=None):
     best_v = jnp.zeros((N,), jnp.float32)
 
     T = scene.tri_n.shape[0]
-    if T > 0:
+    if T > 0 and cfg.use_pallas:
+        from .gather import tgather
+        from .intersect_pallas import tri_closest_hit
+        t, row, best_u, best_v = tri_closest_hit(scene, ray_o, ray_d, far0)
+        gid = tgather(scene.tri_gid, jnp.maximum(row, 0))
+        best_prim = jnp.where(row >= 0, gid, -1)
+        best_t = t
+    elif T > 0:
         chunk = _chunk_size(N, T)
         ops = _tri_chunks(scene, chunk)
 
@@ -273,7 +280,10 @@ def does_intersect(scene, cfg, ray_o, ray_d, max_t=None):
     occluded = jnp.zeros((N,), bool)
 
     T = scene.tri_n.shape[0]
-    if T > 0:
+    if T > 0 and cfg.use_pallas:
+        from .intersect_pallas import tri_any_hit
+        occluded |= tri_any_hit(scene, ray_o, ray_d, far)
+    elif T > 0:
         chunk = _chunk_size(N, T)
         ops = _tri_chunks(scene, chunk)
 

@@ -180,6 +180,7 @@ class RenderConfig:
     volume_kind: int = 0            # VolumeTag (0 = no grid volume)
     volume_phase: int = 0           # MediumTag of the volume's phase fn
     use_bvh: bool = False           # BVH traversal vs brute-force scan
+    use_pallas: bool = False        # Pallas VMEM-resident triangle kernel
     has_normal_map: bool = False
     has_bump_map: bool = False
     # SSAO (reference renderer/ssao.py:36-38)
@@ -387,6 +388,11 @@ def compile_scene(emitters, array_info, objects, configs, scene_dir="."):
         volume_kind=int(vol_rec.type_id),
         volume_phase=int(vol_rec.phase_type_id),
         use_bvh=use_bvh,
+        # Pallas triangle kernel: brute-force-size scenes on a real TPU
+        # (Mosaic); CPU tests opt in via interpret mode.
+        use_pallas=(not use_bvh and len(tri_ids) > 0
+                    and len(tri_ids) <= 256
+                    and jax.default_backend() != "cpu"),
         has_normal_map=any(obj.texture_group.get("normal") is not None
                            for obj in objects),
         has_bump_map=any(obj.texture_group.get("bump") is not None
