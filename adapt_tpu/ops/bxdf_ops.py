@@ -48,19 +48,22 @@ class MatParams:
     kg: jnp.ndarray        # (N,3)
     mean: jnp.ndarray      # (N,3)
     ior: jnp.ndarray       # (N,) attached-medium ior (BSDF only)
+    emit: jnp.ndarray      # (N,) i32 attached emitter id (-1 = none)
 
 
 def gather_mat(scene, obj_id) -> MatParams:
-    """Gather per-object material tables by (clamped) object id."""
-    from .gather import tgather
+    """Gather per-object material tables by (clamped) object id.
+
+    One shared one-hot contraction over all 9 tables (incl. the attached
+    emitter id, so integrators get hit_light for free)."""
+    from .gather import tgather_pack
     idx = jnp.maximum(obj_id, 0)
-    return MatParams(
-        kind=tgather(scene.mat_type, idx),
-        is_bsdf=tgather(scene.mat_is_bsdf, idx),
-        is_delta=tgather(scene.mat_is_delta, idx),
-        kd=tgather(scene.mat_kd, idx), ks=tgather(scene.mat_ks, idx),
-        kg=tgather(scene.mat_kg, idx), mean=tgather(scene.mat_mean, idx),
-        ior=tgather(scene.medium.ior, idx))
+    kind, is_bsdf, is_delta, kd, ks, kg, mean, ior, emit = tgather_pack(
+        [scene.mat_type, scene.mat_is_bsdf, scene.mat_is_delta,
+         scene.mat_kd, scene.mat_ks, scene.mat_kg, scene.mat_mean,
+         scene.medium.ior, scene.obj_emitter], idx)
+    return MatParams(kind=kind, is_bsdf=is_bsdf, is_delta=is_delta,
+                     kd=kd, ks=ks, kg=kg, mean=mean, ior=ior, emit=emit)
 
 
 def diffuse_color(mat, it):

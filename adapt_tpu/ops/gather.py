@@ -18,6 +18,36 @@ import jax.numpy as jnp
 ONE_HOT_MAX = 192      # beyond this, HBM gathers win
 
 
+def tgather_pack(tables, idx):
+    """Shared-one-hot gather: tables[k][idx] for several (P, ...) tables.
+
+    Builds the (N, P) one-hot ONCE and contracts against the concatenated
+    feature columns in a single matmul, instead of one HBM-materialized
+    one-hot + matmul per table (xprof: the separate one-hots in gather_mat
+    were ~20% of PT device time). Bool tables return via >0.5, ints via
+    rint (exact below 2^24), like tgather."""
+    P = tables[0].shape[0]
+    assert all(t.shape[0] == P for t in tables)
+    if P > ONE_HOT_MAX:
+        return [t[idx] for t in tables]
+    flats = [t.reshape(P, -1).astype(jnp.float32) for t in tables]
+    widths = [f.shape[1] for f in flats]
+    oh = (idx[:, None] == jnp.arange(P, dtype=idx.dtype)[None, :]) \
+        .astype(jnp.float32)
+    packed = oh @ jnp.concatenate(flats, axis=1)        # (N, sum F)
+    outs = []
+    off = 0
+    for t, w in zip(tables, widths):
+        col = packed[:, off:off + w].reshape(idx.shape + t.shape[1:])
+        if t.dtype == jnp.bool_:
+            col = col > 0.5
+        elif t.dtype != jnp.float32:
+            col = jnp.rint(col).astype(t.dtype)
+        outs.append(col)
+        off += w
+    return outs
+
+
 def tgather(table, idx):
     """table[idx] for a (P, ...) table and (N,) int indices.
 

@@ -153,10 +153,12 @@ def ray_intersect(scene, cfg, ray_o, ray_d, max_t=None):
     best_v = jnp.zeros((N,), jnp.float32)
 
     T = scene.tri_n.shape[0]
+    pre_ng = pre_obj = None
     if T > 0 and cfg.use_pallas:
         from .gather import tgather
         from .intersect_pallas import tri_closest_hit
-        t, row, best_u, best_v = tri_closest_hit(scene, ray_o, ray_d, far0)
+        t, row, best_u, best_v, pre_ng, pre_obj = tri_closest_hit(
+            scene, ray_o, ray_d, far0)
         gid = tgather(scene.tri_gid, jnp.maximum(row, 0))
         best_prim = jnp.where(row >= 0, gid, -1)
         best_t = t
@@ -202,22 +204,36 @@ def ray_intersect(scene, cfg, ray_o, ray_d, max_t=None):
         is_sphere_hit = better
 
     return _assemble_interaction(scene, cfg, ray_o, ray_d, best_t,
-                                 best_prim, best_u, best_v, is_sphere_hit)
+                                 best_prim, best_u, best_v, is_sphere_hit,
+                                 pre_ng, pre_obj)
 
 
 def _assemble_interaction(scene, cfg, ray_o, ray_d, best_t, best_prim,
-                          best_u, best_v, is_sphere_hit):
+                          best_u, best_v, is_sphere_hit, pre_ng=None,
+                          pre_obj=None):
     """Build the Interaction record from raw hit data
-    (reference tracer_base.py:215-237)."""
+    (reference tracer_base.py:215-237).
+
+    pre_ng/pre_obj: per-lane triangle normal / object id already resolved
+    by the Pallas kernel's VMEM tables (skips two one-hot HBM gathers);
+    sphere-hit lanes still resolve through the prim tables."""
     from .gather import tgather
     N = ray_o.shape[0]
     hit = best_prim >= 0
     prim = jnp.maximum(best_prim, 0)
-    obj_id = jnp.where(hit, _prim_to_obj(scene, prim, is_sphere_hit), -1)
     S = scene.sph_center.shape[0]
+    if pre_obj is not None:
+        obj_id = pre_obj
+        if S > 0:
+            obj_id = jnp.where(is_sphere_hit,
+                               _prim_to_obj(scene, prim, is_sphere_hit),
+                               pre_obj)
+        obj_id = jnp.where(hit, obj_id, -1)
+    else:
+        obj_id = jnp.where(hit, _prim_to_obj(scene, prim, is_sphere_hit), -1)
 
     # --- normals / uv assembly (reference tracer_base.py:215-237) ---
-    n_g_tri = tgather(scene.prim_ng, prim)
+    n_g_tri = pre_ng if pre_ng is not None else tgather(scene.prim_ng, prim)
     hit_p = ray_o + best_t[:, None] * ray_d
     if S > 0:
         center = tgather(scene.pre0, prim)  # sphere center lives in pre0

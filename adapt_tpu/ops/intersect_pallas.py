@@ -26,7 +26,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 RAY_EPS = 1e-4
 FAR = 1e7
-LANE_B = 2048          # rays per grid step (lane-major tiles)
+LANE_B = 2048          # rays per grid step (4096 measured worse: VMEM
+                       # pressure degrades the DMA pipeline)
 MAX_PALLAS_TRIS = 256  # above this the BVH path is the right tool
 
 _INTERPRET = False     # flipped by tests on backends without Mosaic
@@ -42,7 +43,8 @@ def _dot3(tab, vec):
 
 
 def _tri_kernel(ro_ref, rd_ref, far_ref, tn_ref, td_ref, tU_ref, tV_ref,
-                tcu_ref, tcv_ref, t_out, idx_out, u_out, v_out):
+                tcu_ref, tcv_ref, tobj_ref, tng_ref, t_out, idx_out, u_out,
+                v_out, ng_out, obj_out):
     ro = ro_ref[:]                     # (3, B)
     rd = rd_ref[:]
     tn = tn_ref[:]                     # (Tp, 3); zero rows on padding
@@ -70,16 +72,29 @@ def _tri_kernel(ro_ref, rd_ref, far_ref, tn_ref, td_ref, tU_ref, tV_ref,
                      keepdims=True)
     hit = best_t < far_ref[:]
     one_hot = row == best_i
+
+    def sel(vals, miss):
+        return jnp.where(hit, jnp.sum(jnp.where(one_hot, vals, 0.0),
+                                      axis=0, keepdims=True), miss)
+
     t_out[:] = jnp.where(hit, best_t, far_ref[:])
     idx_out[:] = jnp.where(hit, best_i, -1)
-    u_out[:] = jnp.where(hit, jnp.sum(jnp.where(one_hot, u, 0.0), axis=0,
-                                      keepdims=True), 0.0)
-    v_out[:] = jnp.where(hit, jnp.sum(jnp.where(one_hot, v, 0.0), axis=0,
-                                      keepdims=True), 0.0)
+    u_out[:] = sel(u, 0.0)
+    v_out[:] = sel(v, 0.0)
+    # geometric normal from the VMEM table (the OBJ loader's n_g, which
+    # differs from the plane normal tn by ~1 ULP rounding); (1,0,0) on a
+    # miss matches _assemble_interaction's default_n
+    tng = tng_ref[:]
+    ng_out[0:1, :] = sel(tng[:, 0:1], 1.0)
+    ng_out[1:2, :] = sel(tng[:, 1:2], 0.0)
+    ng_out[2:3, :] = sel(tng[:, 2:3], 0.0)
+    obj_out[:] = jnp.where(
+        hit, jnp.sum(jnp.where(one_hot, tobj_ref[:], 0), axis=0,
+                     keepdims=True), -1)
 
 
 def _occ_kernel(ro_ref, rd_ref, far_ref, tn_ref, td_ref, tU_ref, tV_ref,
-                tcu_ref, tcv_ref, occ_out):
+                tcu_ref, tcv_ref, tobj_ref, tng_ref, occ_out):
     ro = ro_ref[:]
     rd = rd_ref[:]
     tn = tn_ref[:]
@@ -106,13 +121,15 @@ def _pad_tris(scene):
     Tp = max(8, -(-T // 8) * 8)
     pad = Tp - T
 
-    def p(x, fill=0.0):
+    def p(x, fill=0):
         width = [(0, pad)] + [(0, 0)] * (x.ndim - 1)
         return jnp.pad(x, width, constant_values=fill)
 
     return (p(scene.tri_n), p(scene.tri_d).reshape(Tp, 1),
             p(scene.tri_U), p(scene.tri_V),
-            p(scene.tri_cu).reshape(Tp, 1), p(scene.tri_cv).reshape(Tp, 1))
+            p(scene.tri_cu).reshape(Tp, 1), p(scene.tri_cv).reshape(Tp, 1),
+            p(scene.tri_obj, -1).reshape(Tp, 1),
+            p(scene.prim_ng[scene.tri_gid]))
 
 
 def _ray_blocks(ray_o, ray_d, far0):
@@ -135,30 +152,37 @@ def _specs(Np):
     tri_spec = pl.BlockSpec(memory_space=pltpu.VMEM)   # whole table resident
     out_spec = pl.BlockSpec((1, LANE_B), lambda i: (0, i),
                             memory_space=pltpu.VMEM)
-    return grid, [ray_spec, ray_spec, far_spec] + [tri_spec] * 6, out_spec
+    return grid, [ray_spec, ray_spec, far_spec] + [tri_spec] * 8, out_spec
 
 
 def tri_closest_hit(scene, ray_o, ray_d, far0):
     """Closest triangle hit for a ray batch.
 
-    Returns (t, tri_row, u, v): t = far0 and tri_row = -1 on miss; tri_row
-    indexes scene.tri_* (map to a global prim id via scene.tri_gid)."""
+    Returns (t, tri_row, u, v, n_g, obj): t = far0, tri_row/obj = -1 and
+    n_g = (1,0,0) on miss; tri_row indexes scene.tri_* (map to a global
+    prim id via scene.tri_gid). n_g/obj come straight from the kernel's
+    VMEM tables, saving two HBM-wide one-hot gathers downstream."""
     N = ray_o.shape[0]
     tris = _pad_tris(scene)
     ro, rd, far, Np = _ray_blocks(ray_o, ray_d, far0)
     grid, in_specs, out_spec = _specs(Np)
-    t, idx, u, v = pl.pallas_call(
+    ng_spec = pl.BlockSpec((3, LANE_B), lambda i: (0, i),
+                           memory_space=pltpu.VMEM)
+    t, idx, u, v, ng, obj = pl.pallas_call(
         _tri_kernel,
         grid=grid,
         in_specs=in_specs,
-        out_specs=[out_spec] * 4,
+        out_specs=[out_spec] * 4 + [ng_spec, out_spec],
         out_shape=[jax.ShapeDtypeStruct((1, Np), jnp.float32),
                    jax.ShapeDtypeStruct((1, Np), jnp.int32),
                    jax.ShapeDtypeStruct((1, Np), jnp.float32),
-                   jax.ShapeDtypeStruct((1, Np), jnp.float32)],
+                   jax.ShapeDtypeStruct((1, Np), jnp.float32),
+                   jax.ShapeDtypeStruct((3, Np), jnp.float32),
+                   jax.ShapeDtypeStruct((1, Np), jnp.int32)],
         interpret=_INTERPRET,
     )(ro, rd, far, *tris)
-    return (t[0, :N], idx[0, :N], u[0, :N], v[0, :N])
+    return (t[0, :N], idx[0, :N], u[0, :N], v[0, :N], ng[:, :N].T,
+            obj[0, :N])
 
 
 def tri_any_hit(scene, ray_o, ray_d, far0):

@@ -24,12 +24,12 @@ from ..ops.texture_ops import get_uv_item, process_ns
 from .base import ProgressiveRenderer, camera_rays, crop_mask
 
 
-def _hit_light(scene, it):
-    """Emitter id attached to the hit object, -1 if none / miss."""
-    from ..ops.gather import tgather
-    return jnp.where(it.obj_id >= 0,
-                     tgather(scene.obj_emitter, jnp.maximum(it.obj_id, 0)),
-                     -1)
+def _hit_light(mat, it):
+    """Emitter id attached to the hit object, -1 if none / miss.
+
+    Reads the emitter id off the already-gathered material row (one shared
+    one-hot in gather_mat) instead of a separate table gather."""
+    return jnp.where(it.obj_id >= 0, mat.emit, -1)
 
 
 @partial(jax.jit, static_argnames=("cfg", "spp", "fuse"))
@@ -97,10 +97,12 @@ def trace_pt(scene, cfg, key, ray_o, ray_d):
     world_ior = scene.world_medium.ior[0]
 
     it = ray_intersect(scene, cfg, ray_o, ray_d)
-    hit_light = _hit_light(scene, it)
+    mat = bxdf_ops.gather_mat(scene, it.obj_id)
+    hit_light = _hit_light(mat, it)
 
     init = dict(
-        key=key, ray_o=ray_o, ray_d=ray_d, it=it, hit_light=hit_light,
+        key=key, ray_o=ray_o, ray_d=ray_d, it=it, mat=mat,
+        hit_light=hit_light,
         color=jnp.zeros((N, 3), jnp.float32),
         contribution=jnp.ones((N, 3), jnp.float32),
         emission_weight=jnp.ones((N,), jnp.float32),
@@ -129,7 +131,7 @@ def trace_pt(scene, cfg, key, ray_o, ray_d):
 
         ray_o, ray_d = st["ray_o"], st["ray_d"]
         hit_point = ray_o + it.t[..., None] * ray_d
-        mat = bxdf_ops.gather_mat(scene, it.obj_id)
+        mat = st["mat"]
 
         # albedo texture fetch (vanilla_renderer.py:66)
         it = process_ns(scene, cfg, it)
@@ -188,11 +190,10 @@ def trace_pt(scene, cfg, key, ray_o, ray_d):
 
         # --- next hit + emission MIS weight (vanilla_renderer.py:109-117) ---
         new_it = ray_intersect(scene, cfg, hit_point, new_dir)
-        new_hit_light = _hit_light(scene, new_it)
+        new_mat = bxdf_ops.gather_mat(scene, new_it.obj_id)
+        new_hit_light = _hit_light(new_mat, new_it)
         if cfg.use_mis:
-            from ..ops.gather import tgather
-            obj = jnp.maximum(new_it.obj_id, 0)
-            surf_delta = tgather(scene.mat_is_delta, obj)
+            surf_delta = new_mat.is_delta & (new_it.obj_id >= 0)
             can_mis = (new_hit_light >= 0) & ~surf_delta & ~is_specular
             e_pdf = jnp.where(
                 can_mis,
@@ -205,7 +206,7 @@ def trace_pt(scene, cfg, key, ray_o, ray_d):
             emission_weight = st["emission_weight"]
 
         return dict(key=key, ray_o=hit_point, ray_d=new_dir, it=new_it,
-                    hit_light=new_hit_light, color=color,
+                    mat=new_mat, hit_light=new_hit_light, color=color,
                     contribution=contribution,
                     emission_weight=emission_weight, active=active,
                     is_specular=is_specular)

@@ -266,11 +266,8 @@ def trace_vpt(scene, cfg, key, ray_o, ray_d):
         is_null = ~is_mi & _is_null_surface(scene, obj_id)
         shade = active & ~is_null
 
-        from ..ops.gather import tgather
-        hit_light = jnp.where(is_mi | miss, -1,
-                              tgather(scene.obj_emitter,
-                                      jnp.maximum(obj_id, 0)))
         mat = bxdf_ops.gather_mat(scene, obj_id)
+        hit_light = jnp.where(is_mi | miss, -1, mat.emit)
         it = process_ns(scene, cfg, it)
         tex, _ = get_uv_item(scene, scene.tex["albedo"], it)
         it_s = dataclasses.replace(it, tex=tex)
@@ -350,11 +347,9 @@ def trace_vpt(scene, cfg, key, ray_o, ray_d):
         # --- emission MIS weight from the NEXT hit (vanilla:109-117) ---
         if cfg.use_mis:
             it_n = ray_intersect(scene, cfg, hit_point, out_dir)
-            nl = jnp.where(it_n.obj_id >= 0,
-                           tgather(scene.obj_emitter,
-                                   jnp.maximum(it_n.obj_id, 0)), -1)
-            n_delta = tgather(scene.mat_is_delta,
-                              jnp.maximum(it_n.obj_id, 0))
+            mat_n = bxdf_ops.gather_mat(scene, it_n.obj_id)
+            nl = jnp.where(it_n.obj_id >= 0, mat_n.emit, -1)
+            n_delta = mat_n.is_delta
             can = (nl >= 0) & ~n_delta & ~is_specular
             e_pdf = jnp.where(can, emitter_ops.solid_angle_pdf(
                 scene, jnp.maximum(nl, 0), it_n.n_s, it_n.t, out_dir), 0.0)

@@ -33,20 +33,25 @@ def main():
     cfg = dataclasses.replace(cfg, max_bounce=8)
 
     key = jax.random.PRNGKey(0)
-    iters = int(os.environ.get("BENCH_ITERS", "32"))
+    iters = int(os.environ.get("BENCH_ITERS", "64"))
     fuse = int(os.environ.get("BENCH_FUSE", "4"))
     # compile + warmup (one fused multi-spp dispatch; fuse samples ride one
     # wavefront to amortize per-fusion launch overhead)
     out = render_batch_pt(scene, cfg, key, jnp.int32(1), iters, fuse)
     jax.block_until_ready(out)
 
-    reps = 3
-    t0 = time.perf_counter()
+    # the axon tunnel adds heavy per-call jitter: time each rep separately
+    # and take the median of 5 (single 3-rep means varied by >25%)
+    reps = int(os.environ.get("BENCH_REPS", "5"))
+    times = []
     for r in range(reps):
+        t0 = time.perf_counter()
         out = render_batch_pt(scene, cfg, jax.random.fold_in(key, r + 1),
                               jnp.int32(iters + 1), iters, fuse)
-    jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / reps
+        jax.block_until_ready(out)
+        times.append(time.perf_counter() - t0)
+    times.sort()
+    dt = times[len(times) // 2]
 
     rays_per_pass = cfg.n_pixels * (
         1 + cfg.max_bounce * (cfg.num_shadow_ray + 1))

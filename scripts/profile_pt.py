@@ -47,27 +47,38 @@ def main():
             scene, cfg, jax.random.fold_in(key, 1), jnp.int32(iters + 1),
             iters, fuse))
 
+    print(dump_op_stats())
+
+
+def dump_op_stats(top=30):
+    """Convert the captured xplane to framework_op_stats (gviz JSON) and
+    format the top device ops by total self time."""
+    import json
     from xprof.convert import raw_to_tool_data as rtd
     xs = glob.glob(TRACE_DIR + "/**/*.xplane.pb", recursive=True)
     data, _ = rtd.xspace_to_tool_data(xs, "framework_op_stats", {})
     if isinstance(data, bytes):
         data = data.decode()
-    lines = data.splitlines()
-    # csv: rank,host/device,op type,op name,#occurrences,total time,avg,
-    #      total self time (us), ...
-    import csv
-    rows = list(csv.reader(lines))
-    head = rows[0]
-    self_i = next(i for i, c in enumerate(head) if "total_self_time" in c
-                  or c.strip().lower().startswith("total self"))
-    dev_rows = [r for r in rows[1:] if len(r) > self_i and r[1] == "Device"]
-    dev_rows.sort(key=lambda r: -float(r[self_i]))
-    total = sum(float(r[self_i]) for r in dev_rows)
-    print(f"{'self_us':>12}  {'%':>6}  op")
-    for r in dev_rows[:30]:
-        t = float(r[self_i])
-        print(f"{t:12.1f}  {100 * t / total:6.2f}  {r[2]} :: {r[3][:90]}")
-    print(f"device total self time: {total / 1e3:.2f} ms")
+    j = json.loads(data)
+    tbl = j[0] if isinstance(j, list) else j
+    cols = [c["id"] for c in tbl["cols"]]
+    rows = [[c["v"] if c else None for c in r["c"]] for r in tbl["rows"]]
+    i_hd = cols.index("host_or_device")
+    i_ty = cols.index("type")
+    i_op = cols.index("operation")
+    i_st = cols.index("total_self_time")
+    i_bb = cols.index("bound_by")
+    i_oc = cols.index("occurrences")
+    dev = sorted((r for r in rows if r[i_hd] == "Device"),
+                 key=lambda r: -r[i_st])
+    total = sum(r[i_st] for r in dev)
+    out = [f"{'self_ms':>9} {'pct':>6} {'occ':>5}  {'bound':>8}  type :: op"]
+    for r in dev[:top]:
+        out.append(f"{r[i_st] / 1e3:9.2f} {100 * r[i_st] / total:5.1f}% "
+                   f"{int(r[i_oc]):5d}  {str(r[i_bb]):>8}  "
+                   f"{r[i_ty]} :: {r[i_op][-70:]}")
+    out.append(f"device total self time: {total / 1e3:.2f} ms")
+    return "\n".join(out)
 
 
 if __name__ == "__main__":

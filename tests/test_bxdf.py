@@ -55,7 +55,8 @@ def make_mat(xml, n=N):
         is_bsdf=jnp.zeros((n,), bool),
         is_delta=jnp.full((n,), rec.is_delta, bool),
         kd=tile(rec.k_d), ks=tile(rec.k_s), kg=tile(rec.k_g),
-        mean=tile(rec.mean), ior=jnp.ones((n,), jnp.float32))
+        mean=tile(rec.mean), ior=jnp.ones((n,), jnp.float32),
+        emit=jnp.full((n,), -1, jnp.int32))
 
 
 def make_it(n=N):

@@ -34,6 +34,7 @@ class FakeScene:
         class Med:
             ior = jnp.ones(len(parsed))
         self.medium = Med()
+        self.obj_emitter = jnp.full(len(parsed), -1, jnp.int32)
 
 
 def test_mixture_sample_matches_weighted_eval():
