@@ -32,28 +32,34 @@ def _bilinear(atlas, x, y):
 def query_texture(table, obj_id, u, v):
     """Per-ray texture query; returns ((N,3) color, (N,) valid mask).
 
-    Invalid where the object has no texture in this tag (mode == -255)."""
-    from .gather import tgather
+    Invalid where the object has no texture in this tag (mode == -255).
+    Statically free when no object carries the tag (table.present False),
+    and a single shared one-hot gather over all 9 columns otherwise."""
+    if not table.present:
+        N = obj_id.shape[0]
+        return (jnp.full((N, 3), -1.0, jnp.float32),
+                jnp.zeros((N,), bool))
+    from .gather import tgather_pack
     idx = jnp.maximum(obj_id, 0)
-    mode = tgather(table.mode, idx)
+    mode, w, h, sc_u, sc_v, off_x, off_y, c1, c2 = tgather_pack(
+        [table.mode, table.w, table.h, table.scale_u, table.scale_v,
+         table.off_x, table.off_y, table.c1, table.c2], idx)
     valid = (obj_id >= 0) & (mode > -255)
 
-    w = jnp.maximum(tgather(table.w, idx), 2.0)
-    h = jnp.maximum(tgather(table.h, idx), 2.0)
-    su = u * tgather(table.scale_u, idx) * w
-    sv = v * tgather(table.scale_v, idx) * h
+    w = jnp.maximum(w, 2.0)
+    h = jnp.maximum(h, 2.0)
+    su = u * sc_u * w
+    sv = v * sc_v * h
     # wrap to [0, dim-1) like the reference's float mod (texture.py:120-121)
     su = jnp.mod(su, w - 1.0)
     sv = jnp.mod(sv, h - 1.0)
-    x = su + tgather(table.off_x, idx).astype(jnp.float32)
-    y = sv + tgather(table.off_y, idx).astype(jnp.float32)
+    x = su + off_x.astype(jnp.float32)
+    y = sv + off_y.astype(jnp.float32)
     img_color = _bilinear(table.atlas, x, y)
 
     # checkerboard (mode 1): two colors on a unit grid
-    checker = (jnp.floor(u * 2.0 * table.scale_u[idx])
-               + jnp.floor(v * 2.0 * table.scale_v[idx])) % 2.0
-    chk_color = jnp.where(checker[..., None] > 0.5, tgather(table.c2, idx),
-                          tgather(table.c1, idx))
+    checker = (jnp.floor(u * 2.0 * sc_u) + jnp.floor(v * 2.0 * sc_v)) % 2.0
+    chk_color = jnp.where(checker[..., None] > 0.5, c2, c1)
     color = jnp.where((mode == 1)[..., None], chk_color, img_color)
     color = jnp.where(valid[..., None], color, -1.0)
     return color, valid
@@ -86,6 +92,10 @@ def process_ns(scene, cfg, it):
 def get_uv_item(scene, table, it):
     """Local barycentric uv -> global uv -> texture color
     (reference path_tracer.py:276-289)."""
+    if not table.present:
+        N = it.prim_id.shape[0]
+        return (jnp.full((N, 3), -1.0, jnp.float32),
+                jnp.zeros((N,), bool))
     from .gather import tgather
     prim = it.prim_id
     obj = jnp.maximum(it.obj_id, 0)

@@ -36,7 +36,6 @@ def _register(cls):
     return cls
 
 
-@_register
 @dataclasses.dataclass
 class TextureTable:
     """Per-object texture slots for one tag (albedo/normal/bump/roughness).
@@ -52,6 +51,15 @@ class TextureTable:
     c1: jnp.ndarray        # (O,3) checker colors
     c2: jnp.ndarray
     atlas: jnp.ndarray     # (S,S,3) packed atlas ((1,1,3) dummy if unused)
+    present: bool = False  # STATIC: any object carries this tag (prunes the
+                           # whole per-bounce fetch for texture-less tags)
+
+
+jax.tree_util.register_dataclass(
+    TextureTable,
+    data_fields=[f.name for f in dataclasses.fields(TextureTable)
+                 if f.name != "present"],
+    meta_fields=["present"])
 
 
 @_register
@@ -245,7 +253,8 @@ def _texture_table(objects, recs, atlas) -> TextureTable:
                         off_y=jnp.asarray(off_y), w=jnp.asarray(w),
                         h=jnp.asarray(h), scale_u=jnp.asarray(su),
                         scale_v=jnp.asarray(sv), c1=jnp.asarray(c1),
-                        c2=jnp.asarray(c2), atlas=jnp.asarray(atlas))
+                        c2=jnp.asarray(c2), atlas=jnp.asarray(atlas),
+                        present=bool((mode > -255).any()))
 
 
 def compile_scene(emitters, array_info, objects, configs, scene_dir="."):

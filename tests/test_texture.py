@@ -53,7 +53,7 @@ def test_packing_and_query(tmp_path):
         h=jnp.asarray([float(by_id["red"].h), float(by_id["blue"].h)]),
         scale_u=jnp.ones(2), scale_v=jnp.ones(2),
         c1=jnp.zeros((2, 3)), c2=jnp.ones((2, 3)),
-        atlas=jnp.asarray(atlas))
+        atlas=jnp.asarray(atlas), present=True)
     obj = jnp.asarray([0, 1, 0])
     u = jnp.asarray([0.5, 0.5, 0.25])
     v = jnp.asarray([0.5, 0.5, 0.75])
@@ -77,7 +77,7 @@ def test_checkerboard_query():
         off_y=jnp.zeros(1, jnp.int32), w=jnp.zeros(1), h=jnp.zeros(1),
         scale_u=jnp.ones(1), scale_v=jnp.ones(1),
         c1=jnp.asarray(rec.c1)[None], c2=jnp.asarray(rec.c2)[None],
-        atlas=jnp.zeros((1, 1, 3)))
+        atlas=jnp.zeros((1, 1, 3)), present=True)
     obj = jnp.zeros(4, jnp.int32)
     u = jnp.asarray([0.1, 0.6, 0.1, 0.6])
     v = jnp.asarray([0.1, 0.1, 0.6, 0.6])
