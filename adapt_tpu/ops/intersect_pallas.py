@@ -37,7 +37,10 @@ def _dot3(tab, vec):
     """(Tp,3) x (3,B) -> (Tp,B) exact f32 dots on the VPU.
 
     Same multiply/add order as ops/intersect.py `_pair_dots` (sum over a
-    size-3 axis) so results match the jnp path bitwise."""
+    size-3 axis) so results match the jnp path up to FMA rounding.
+    Measured: routing these through the MXU (dot_general, HIGHEST) is
+    1.4x SLOWER end-to-end — at K=3 the systolic array does no useful
+    work, confirming the repo-wide no-matmul rule for geometry."""
     return (tab[:, 0:1] * vec[0:1, :] + tab[:, 1:2] * vec[1:2, :]) \
         + tab[:, 2:3] * vec[2:3, :]
 
