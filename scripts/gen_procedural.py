@@ -1,0 +1,78 @@
+#!/usr/bin/env python
+"""Generate procedural stand-in meshes for the reference's unshipped assets.
+
+The reference benchmarks cite bunny (~90k prims) and sports-car (~290k
+prims) meshes that its repo does not ship (external downloads). This writes
+parametric torus-knot tube meshes of comparable triangle counts so the BVH
+traversal path can be exercised and benchmarked at reference scale:
+
+    scenes/meshes/procedural/knot90k.obj    (~90k tris)
+    scenes/meshes/procedural/knot290k.obj   (~290k tris)
+
+Meshes are deterministic; files are regenerated only if absent.
+"""
+import os
+import sys
+
+import numpy as np
+
+
+def torus_knot(n_u, n_v, p=2, q=3, R=1.0, r=0.35, tube=0.18):
+    """Closed tube around a (p,q) torus knot; returns (verts, faces)."""
+    u = np.linspace(0.0, 2.0 * np.pi, n_u, endpoint=False)
+    # center curve
+    cu = (R + r * np.cos(q * u))
+    c = np.stack([cu * np.cos(p * u), cu * np.sin(p * u),
+                  -r * np.sin(q * u)], axis=1)
+    # frame via finite differences
+    t = np.roll(c, -1, axis=0) - np.roll(c, 1, axis=0)
+    t /= np.linalg.norm(t, axis=1, keepdims=True)
+    ref = np.array([0.0, 0.0, 1.0])
+    n = np.cross(t, ref)
+    bad = np.linalg.norm(n, axis=1) < 1e-6
+    n[bad] = np.cross(t[bad], np.array([1.0, 0.0, 0.0]))
+    n /= np.linalg.norm(n, axis=1, keepdims=True)
+    b = np.cross(t, n)
+
+    v = np.linspace(0.0, 2.0 * np.pi, n_v, endpoint=False)
+    cv, sv = np.cos(v), np.sin(v)
+    verts = (c[:, None, :] + tube * (cv[None, :, None] * n[:, None, :]
+                                     + sv[None, :, None] * b[:, None, :]))
+    verts = verts.reshape(-1, 3)
+
+    idx = np.arange(n_u * n_v).reshape(n_u, n_v)
+    i00 = idx
+    i10 = np.roll(idx, -1, axis=0)
+    i01 = np.roll(idx, -1, axis=1)
+    i11 = np.roll(np.roll(idx, -1, axis=0), -1, axis=1)
+    f1 = np.stack([i00, i10, i11], axis=-1).reshape(-1, 3)
+    f2 = np.stack([i00, i11, i01], axis=-1).reshape(-1, 3)
+    return verts, np.concatenate([f1, f2], axis=0)
+
+
+def write_obj(path, verts, faces):
+    with open(path, "w") as fh:
+        fh.write("# procedural torus-knot stand-in mesh\n")
+        np.savetxt(fh, verts, fmt="v %.6f %.6f %.6f")
+        np.savetxt(fh, faces + 1, fmt="f %d %d %d")
+
+
+def ensure(name, n_u, n_v):
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    d = os.path.join(here, "scenes", "meshes", "procedural")
+    os.makedirs(d, exist_ok=True)
+    path = os.path.join(d, name)
+    if not os.path.exists(path):
+        verts, faces = torus_knot(n_u, n_v)
+        write_obj(path, verts, faces)
+        print(f"wrote {path}: {faces.shape[0]} tris")
+    return path
+
+
+def ensure_all():
+    ensure("knot90k.obj", 900, 50)      # 90,000 tris
+    ensure("knot290k.obj", 1450, 100)   # 290,000 tris
+
+
+if __name__ == "__main__":
+    ensure_all()
