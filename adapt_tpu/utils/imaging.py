@@ -29,10 +29,13 @@ def apply_watermark(img: np.ndarray) -> np.ndarray:
     text = "RENDERED WITH ADAPT-TPU"
     (tw, th), _ = cv2.getTextSize(text, cv2.FONT_HERSHEY_SIMPLEX, scale, 1)
     org = (max(w - tw - 8, 0), max(h - 8, th))
+    # cv2 putText only draws on uint8: render a mask, blend into the float
+    mask = np.zeros((h, w), np.uint8)
+    cv2.putText(mask, text, org, cv2.FONT_HERSHEY_SIMPLEX, scale,
+                255, 1, cv2.LINE_AA)
     lum = float(out.max()) or 1.0
-    cv2.putText(out, text, org, cv2.FONT_HERSHEY_SIMPLEX, scale,
-                (lum, lum, lum), 1, cv2.LINE_AA)
-    return out
+    alpha = (mask.astype(np.float32) / 255.0)[..., None]
+    return out * (1.0 - alpha) + lum * alpha
 
 
 def tonemap(img: np.ndarray, gamma: float = 2.2) -> np.ndarray:
