@@ -21,7 +21,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+try:                                    # jax >= 0.6
+    from jax import shard_map
+except ImportError:                     # pragma: no cover - older jax
+    from jax.experimental.shard_map import shard_map
 
 
 def make_mesh(n_devices: int | None = None, spp_parallel: int | None = None,
@@ -73,10 +76,13 @@ def render_pass_multichip(scene, cfg, mesh: Mesh, trace_fn):
         # the one collective: average the spp groups' framebuffers over ICI
         return jax.lax.pmean(color, "spp")
 
+    import inspect
+    kw = {"check_vma": False} \
+        if "check_vma" in inspect.signature(shard_map).parameters \
+        else {"check_rep": False}
     step = shard_map(_shard_fn, mesh=mesh,
                      in_specs=(P(), P(), P()),
-                     out_specs=P("px"),
-                     check_rep=False)
+                     out_specs=P("px"), **kw)
     return jax.jit(step)
 
 

@@ -50,3 +50,20 @@ def test_multichip_matches_single_device():
         cols.append(np.asarray(trace_pt(scene, cfg, k_tr, ro, rd)))
     ref = np.concatenate(cols, axis=0)
     assert np.abs(out - ref).max() < 1e-4
+
+
+def test_multichip_vpt_and_spp_axis():
+    """VPT traces through the same sharding layer; a 2x4 ('spp','px') mesh
+    must average spp groups into a finite, lit image."""
+    scene, cfg, _ = load_scene(SCENE_DIR + "/vpt/", "cbox.xml")
+    cfg = dataclasses.replace(cfg, w=16, h=16, focal=cfg.focal * 16 / 512,
+                              end_x=16, end_y=16, max_bounce=2,
+                              anti_alias=False, stratified_sampling=False,
+                              use_rr=False)
+    from adapt_tpu.renderer.vpt import trace_vpt
+    mesh = make_mesh(8, spp_parallel=2)      # 2 spp groups x 4 px shards
+    r = MultiChipRenderer(scene, cfg, mesh, trace_fn=trace_vpt, seed=1)
+    r.render()
+    out = np.asarray(r.render()).reshape(-1, 3)
+    assert np.isfinite(out).all() and out.max() > 0.01
+    assert r.cnt == 4                        # 2 renders x spp axis of 2
