@@ -37,11 +37,14 @@ NULL_BUDGET = 8       # extra loop iterations to absorb null-surface crossings
 TRACK_STEPS = 7       # max medium interfaces along a shadow ray (vpt.py:113)
 
 
+_MEDIUM_FIELDS = ("kind", "ior", "u_a", "u_s", "u_e", "ph_par", "ph_pdf")
+
+
 def _gather_rows(table, idx):
-    """Gather per-lane rows from a MediumTable."""
-    from ..ops.gather import tgather
-    return {f: tgather(getattr(table, f), idx) for f in
-            ("kind", "ior", "u_a", "u_s", "u_e", "ph_par", "ph_pdf")}
+    """Gather per-lane rows from a MediumTable (one shared one-hot)."""
+    from ..ops.gather import tgather_pack
+    vals = tgather_pack([getattr(table, f) for f in _MEDIUM_FIELDS], idx)
+    return dict(zip(_MEDIUM_FIELDS, vals))
 
 
 def effective_medium(scene, cfg, obj_id, in_free_space):
