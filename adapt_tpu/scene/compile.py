@@ -138,12 +138,13 @@ class SceneData:
     # --- heterogeneous grid volume (dummy when cfg.volume_kind == 0) ---
     volume: Any
     # --- BVH (skip-offset flat layout; 1-node dummies when not built) ---
-    bvh_lo: jnp.ndarray         # (M,3) node AABB
-    bvh_hi: jnp.ndarray
-    bvh_base: jnp.ndarray       # (M,) leaf prim base (into bvh_prim)
-    bvh_cnt: jnp.ndarray        # (M,) leaf prim count (0 = internal)
-    bvh_skip: jnp.ndarray       # (M,) next node on AABB miss
-    bvh_prim: jnp.ndarray       # (P,) traversal order -> global prim id
+    # BVH traversal tables, PACKED so each traversal step is one row-gather
+    # per node and one per leaf slot (45 separate per-lane gathers/step made
+    # the 290k-prim walk ~50x slower than bandwidth on TPU)
+    bvh_node_pack: jnp.ndarray  # (M,9) f32: lo(3) hi(3) base cnt skip
+    bvh_prim_pack: jnp.ndarray  # (P,14) f32, leaf-contiguous order:
+                                #   n|center(3) d|radius(1) U(3) cu(1)
+                                #   V(3) cv(1) is_sphere(1) gid(1)
     # full-length per-prim test data (triangle plane/dual-basis; zeros for
     # sphere prims which use pre0/pre1 instead)
     prim_obj: jnp.ndarray        # (P,) i32 owning object
@@ -338,18 +339,22 @@ def compile_scene(emitters, array_info, objects, configs, scene_dir="."):
             prim_hi[sph_ids] = c + r
         node_f, node_i, prim_order = bvh_build(
             np.concatenate([prim_lo, prim_hi], axis=1).astype(np.float32))
-        bvh = dict(bvh_lo=jnp.asarray(node_f[:, :3]),
-                   bvh_hi=jnp.asarray(node_f[:, 3:]),
-                   bvh_base=jnp.asarray(node_i[:, 0]),
-                   bvh_cnt=jnp.asarray(node_i[:, 1]),
-                   bvh_skip=jnp.asarray(node_i[:, 2]),
-                   bvh_prim=jnp.asarray(prim_order))
+        node_pack = np.concatenate(
+            [node_f.astype(np.float32), node_i.astype(np.float32)], axis=1)
+        a = prim_n.copy()
+        b = prim_d.copy()
+        if sph_ids.size:
+            a[sph_ids] = prims[sph_ids, 0]           # sphere center
+            b[sph_ids] = prims[sph_ids, 1, 0]        # sphere radius
+        prim_pack = np.concatenate(
+            [a, b[:, None], prim_U, prim_cu[:, None], prim_V,
+             prim_cv[:, None], prim_is_sphere[:, None].astype(np.float32),
+             np.arange(P, dtype=np.float32)[:, None]], axis=1)
+        bvh = dict(bvh_node_pack=jnp.asarray(node_pack),
+                   bvh_prim_pack=jnp.asarray(prim_pack[prim_order]))
     else:
-        bvh = dict(bvh_lo=jnp.zeros((1, 3)), bvh_hi=jnp.zeros((1, 3)),
-                   bvh_base=jnp.zeros(1, jnp.int32),
-                   bvh_cnt=jnp.zeros(1, jnp.int32),
-                   bvh_skip=jnp.ones(1, jnp.int32),
-                   bvh_prim=jnp.zeros(max(P, 1), jnp.int32))
+        bvh = dict(bvh_node_pack=jnp.zeros((1, 9), jnp.float32),
+                   bvh_prim_pack=jnp.zeros((1, 14), jnp.float32))
 
     # --- camera ---
     cam_orient = configs["transform"][0].astype(np.float32)
