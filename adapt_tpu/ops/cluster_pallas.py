@@ -1,0 +1,284 @@
+"""Pallas two-level cluster intersector for big scenes (TPU).
+
+Why: the jnp cursor BVH walk does per-lane gathers from HBM node/prim
+tables every step; on a 290k-prim scene those gathers measure ~100x off
+HBM bandwidth on v5e (one 512^2 primary intersect = seconds). TPUs want
+dense, predictable DMA + VMEM compute, so the tree is cut at scene-compile
+time into C disjoint subtree clusters of <= CM prims (scene/compile.py
+`_cluster_cut`), each a contiguous padded block. The kernel grid is
+(ray_tiles, clusters): a ray tile stays VMEM-resident while the cluster
+sweep runs; each step does one 8-float AABB test against the whole tile
+and ONLY on a hit DMAs the cluster's prim block into VMEM scratch and
+brute-force tests it in lane chunks — the same exact-f32 VPU
+plane/dual-basis test as ops/intersect_pallas.py.
+
+Layout: prim blocks are (F=24, CM) — fields on sublanes, prims on lanes —
+so DMA slices stay 128-aligned and rays ride their natural (N,3) layout
+(intermediates are (B, TC); no transposes anywhere). Field rows:
+  0:3 n|center   3 d|radius   4:7 U   7 cu   8:11 V   11 cv
+  12 is_sphere   13 gid (-1 = padding)   14:17 n_g   17 obj
+
+Outputs carry gid, uv, n_g and obj id straight from the rows, so the big-
+scene path needs no per-lane table gathers downstream either.
+
+Reference behavior: tracer/path_tracer.py:338-422 (BVH dispatch contract).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+RAY_EPS = 1e-4
+FAR = 1e7
+ROW_F = 24             # padded field count (18 used)
+LANE_B = 512           # rays per tile (sublanes of the intermediates);
+                       # 1024 blew the 16M VMEM budget (~18 live (B,TC)
+                       # buffers in the prim test)
+TC = 128               # prims tested per inner chunk (lanes; 128-aligned)
+
+_INTERPRET = False     # flipped by tests on backends without Mosaic
+
+
+def _prim_chunk_test(r, ro, rd):
+    """(24,TC) packed prim fields x (B,3) rays -> (t,u,v) of (B,TC)."""
+    def dot3(c0, vec):
+        return (vec[:, 0:1] * r[c0:c0 + 1, :]
+                + vec[:, 1:2] * r[c0 + 1:c0 + 2, :]) \
+            + vec[:, 2:3] * r[c0 + 2:c0 + 3, :]
+
+    is_sph = r[12:13, :] > 0.5
+    pad = r[13:14, :] < 0.0
+    b = r[3:4, :]
+    # triangle: plane + dual basis (same op order as intersect_pallas)
+    o_n = dot3(0, ro)
+    d_n = dot3(0, rd)
+    safe_dn = jnp.where(jnp.abs(d_n) < 1e-12, 1e-12, d_n)
+    t_tri = (b - o_n) / safe_dn
+    u = dot3(4, ro) + t_tri * dot3(4, rd) - r[7:8, :]
+    v = dot3(8, ro) + t_tri * dot3(8, rd) - r[11:12, :]
+    tri_ok = (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0) & (t_tri > RAY_EPS) \
+        & (jnp.abs(d_n) >= 1e-12)
+    # sphere: quadratic on (center=r[0:3], radius=b)
+    cx = r[0:1, :] - ro[:, 0:1]
+    cy = r[1:2, :] - ro[:, 1:2]
+    cz = r[2:3, :] - ro[:, 2:3]
+    cn2 = cx * cx + cy * cy + cz * cz
+    proj = cx * rd[:, 0:1] + cy * rd[:, 1:2] + cz * rd[:, 2:3]
+    c2r = cn2 - proj * proj
+    r2 = b * b
+    cut = jnp.sqrt(jnp.maximum(r2 - c2r, 0.0))
+    outside = cn2 > r2 + 1e-4
+    t_sph = proj + jnp.where(outside, -cut, cut)
+    sph_ok = (c2r < r2) & (t_sph > RAY_EPS)
+
+    t = jnp.where(is_sph, jnp.where(sph_ok, t_sph, FAR),
+                  jnp.where(tri_ok, t_tri, FAR))
+    t = jnp.where(pad, FAR, t)
+    return t, u, v
+
+
+def _tile_box_hit(ab_ref, j, ro, inv_d, t_best):
+    """Slab test of cluster j's AABB against the whole (B,3) ray tile."""
+    box = ab_ref[j, :]                        # (8,) dynamic row read
+    t_near = jnp.full(t_best.shape, -jnp.inf, jnp.float32)
+    t_far = jnp.full(t_best.shape, jnp.inf, jnp.float32)
+    for k in range(3):
+        t1 = (box[k] - ro[:, k:k + 1]) * inv_d[:, k:k + 1]
+        t2 = (box[k + 3] - ro[:, k:k + 1]) * inv_d[:, k:k + 1]
+        t_near = jnp.maximum(t_near, jnp.minimum(t1, t2))
+        t_far = jnp.minimum(t_far, jnp.maximum(t1, t2))
+    return (t_far >= jnp.maximum(t_near, 0.0)) & (t_near < t_best)
+
+
+def _closest_kernel(ro_ref, rd_ref, far_ref, ab_ref, rows_hbm,
+                    t_o, g_o, u_o, v_o, ng_o, ob_o, sph_o, buf, sem):
+    j = pl.program_id(1)
+    CM = buf.shape[1]
+
+    @pl.when(j == 0)
+    def _():
+        t_o[:] = far_ref[:]
+        g_o[:] = jnp.full_like(g_o[:], -1)
+        u_o[:] = jnp.zeros_like(u_o[:])
+        v_o[:] = jnp.zeros_like(v_o[:])
+        ng_o[:, 0:1] = jnp.ones_like(ng_o[:, 0:1])
+        ng_o[:, 1:3] = jnp.zeros_like(ng_o[:, 1:3])
+        ob_o[:] = jnp.full_like(ob_o[:], -1)
+        sph_o[:] = jnp.zeros_like(sph_o[:])
+
+    ro = ro_ref[:]                            # (B, 3)
+    rd = rd_ref[:]
+    inv_d = 1.0 / jnp.where(jnp.abs(rd) < 1e-9, 1e-9, rd)
+    box_hit = _tile_box_hit(ab_ref, j, ro, inv_d, t_o[:])   # (B, 1)
+
+    @pl.when(jnp.any(box_hit))
+    def _():
+        dma = pltpu.make_async_copy(rows_hbm.at[j], buf, sem)
+        dma.start()
+        dma.wait()
+
+        def chunk(kc, _):
+            r = buf[:, pl.ds(kc * TC, TC)]    # (24, TC)
+            t, u, v = _prim_chunk_test(r, ro, rd)           # (B, TC)
+            bt = jnp.min(t, axis=1, keepdims=True)          # (B, 1)
+            col = jax.lax.broadcasted_iota(jnp.int32, t.shape, 1)
+            bi = jnp.min(jnp.where(t == bt, col, TC), axis=1,
+                         keepdims=True)
+            better = (bt < t_o[:]) & box_hit
+            one_hot = col == bi
+
+            def sel(row):                     # (1,TC) field row -> (B,1)
+                return jnp.sum(jnp.where(one_hot, row, 0.0), axis=1,
+                               keepdims=True)
+
+            def selv(vals):                   # (B,TC) values -> (B,1)
+                return jnp.sum(jnp.where(one_hot, vals, 0.0), axis=1,
+                               keepdims=True)
+
+            # sphere lanes get their final normal here; spherical uv needs
+            # atan2/arccos (no Pallas TPU lowering), so the wrapper derives
+            # it from n_g on the sphere-flagged lanes
+            is_sph = sel(r[12:13, :]) > 0.5
+            hx = ro[:, 0:1] + bt * rd[:, 0:1] - sel(r[0:1, :])
+            hy = ro[:, 1:2] + bt * rd[:, 1:2] - sel(r[1:2, :])
+            hz = ro[:, 2:3] + bt * rd[:, 2:3] - sel(r[2:3, :])
+            inv_n = jax.lax.rsqrt(jnp.maximum(hx * hx + hy * hy + hz * hz,
+                                              1e-24))
+            nx, ny, nz = hx * inv_n, hy * inv_n, hz * inv_n
+
+            t_o[:] = jnp.where(better, bt, t_o[:])
+            g_o[:] = jnp.where(better, sel(r[13:14, :]).astype(jnp.int32),
+                               g_o[:])
+            u_o[:] = jnp.where(better, selv(u), u_o[:])
+            v_o[:] = jnp.where(better, selv(v), v_o[:])
+            ng_o[:, 0:1] = jnp.where(
+                better, jnp.where(is_sph, nx, sel(r[14:15, :])),
+                ng_o[:, 0:1])
+            ng_o[:, 1:2] = jnp.where(
+                better, jnp.where(is_sph, ny, sel(r[15:16, :])),
+                ng_o[:, 1:2])
+            ng_o[:, 2:3] = jnp.where(
+                better, jnp.where(is_sph, nz, sel(r[16:17, :])),
+                ng_o[:, 2:3])
+            ob_o[:] = jnp.where(better, sel(r[17:18, :]).astype(jnp.int32),
+                                ob_o[:])
+            sph_o[:] = jnp.where(better, is_sph.astype(jnp.int32), sph_o[:])
+            return 0
+
+        jax.lax.fori_loop(0, CM // TC, chunk, 0)
+
+
+def _any_kernel(ro_ref, rd_ref, far_ref, ab_ref, rows_hbm, occ_o, buf, sem):
+    j = pl.program_id(1)
+    CM = buf.shape[1]
+
+    @pl.when(j == 0)
+    def _():
+        occ_o[:] = jnp.zeros_like(occ_o[:])
+
+    ro = ro_ref[:]
+    rd = rd_ref[:]
+    inv_d = 1.0 / jnp.where(jnp.abs(rd) < 1e-9, 1e-9, rd)
+    far = jnp.where(occ_o[:], 0.0, far_ref[:])     # done lanes prune boxes
+    box_hit = _tile_box_hit(ab_ref, j, ro, inv_d, far)
+
+    @pl.when(jnp.any(box_hit))
+    def _():
+        dma = pltpu.make_async_copy(rows_hbm.at[j], buf, sem)
+        dma.start()
+        dma.wait()
+
+        def chunk(kc, _):
+            r = buf[:, pl.ds(kc * TC, TC)]
+            t, _u, _v = _prim_chunk_test(r, ro, rd)
+            hit = jnp.any((t < far_ref[:]) & box_hit, axis=1,
+                          keepdims=True)
+            occ_o[:] = occ_o[:] | hit
+            return 0
+
+        jax.lax.fori_loop(0, CM // TC, chunk, 0)
+
+
+def _ray_blocks(ray_o, ray_d, far0):
+    N = ray_o.shape[0]
+    Np = -(-N // LANE_B) * LANE_B
+    ro = jnp.pad(ray_o, ((0, Np - N), (0, 0)))
+    rd = jnp.pad(ray_d, ((0, Np - N), (0, 0)), constant_values=1.0)
+    far = jnp.pad(far0.reshape(N, 1), ((0, Np - N), (0, 0)))
+    return ro, rd, far, Np
+
+
+@functools.lru_cache(maxsize=None)
+def _specs(Np, C):
+    grid = (Np // LANE_B, C)
+    ray = pl.BlockSpec((LANE_B, 3), lambda i, j: (i, 0),
+                       memory_space=pltpu.VMEM)
+    far = pl.BlockSpec((LANE_B, 1), lambda i, j: (i, 0),
+                       memory_space=pltpu.VMEM)
+    # whole (C,8) table resident (KBs); Mosaic rejects (1,8) sublane blocks
+    ab = pl.BlockSpec(memory_space=pltpu.VMEM)
+    rows = pl.BlockSpec(memory_space=pltpu.ANY)    # whole array, manual DMA
+    out1 = pl.BlockSpec((LANE_B, 1), lambda i, j: (i, 0),
+                        memory_space=pltpu.VMEM)
+    out3 = pl.BlockSpec((LANE_B, 3), lambda i, j: (i, 0),
+                        memory_space=pltpu.VMEM)
+    return grid, [ray, ray, far, ab, rows], out1, out3
+
+
+def cluster_closest_hit(scene, ray_o, ray_d, far0):
+    """Closest hit through the cluster decomposition.
+
+    Returns (t, gid, u, v, n_g, obj) — gid/obj = -1, t = far0, n_g=(1,0,0)
+    on miss. Float fields match the jnp cursor walk up to FMA rounding."""
+    N = ray_o.shape[0]
+    C, F, CM = scene.cl_rows.shape
+    ro, rd, far, Np = _ray_blocks(ray_o, ray_d, far0)
+    grid, in_specs, out1, out3 = _specs(Np, C)
+    t, gid, u, v, ng, obj, sph = pl.pallas_call(
+        _closest_kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=[out1, out1, out1, out1, out3, out1, out1],
+        out_shape=[jax.ShapeDtypeStruct((Np, 1), jnp.float32),
+                   jax.ShapeDtypeStruct((Np, 1), jnp.int32),
+                   jax.ShapeDtypeStruct((Np, 1), jnp.float32),
+                   jax.ShapeDtypeStruct((Np, 1), jnp.float32),
+                   jax.ShapeDtypeStruct((Np, 3), jnp.float32),
+                   jax.ShapeDtypeStruct((Np, 1), jnp.int32),
+                   jax.ShapeDtypeStruct((Np, 1), jnp.int32)],
+        scratch_shapes=[pltpu.VMEM((F, CM), jnp.float32),
+                        pltpu.SemaphoreType.DMA(())],
+        interpret=_INTERPRET,
+    )(ro, rd, far, scene.cl_aabb, scene.cl_rows)
+    ng = ng[:N]
+    # spherical uv from the (already final) sphere normal
+    # (reference tracer_base.py:226-231 formulas)
+    is_sph = sph[:N, 0] > 0
+    sph_u = (jnp.arctan2(ng[:, 1], ng[:, 0]) + jnp.pi) / (2.0 * jnp.pi)
+    sph_v = jnp.arccos(jnp.clip(ng[:, 2], -1.0, 1.0)) / jnp.pi
+    u = jnp.where(is_sph, sph_u, u[:N, 0])
+    v = jnp.where(is_sph, sph_v, v[:N, 0])
+    return t[:N, 0], gid[:N, 0], u, v, ng, obj[:N, 0]
+
+
+def cluster_any_hit(scene, ray_o, ray_d, far0):
+    """True where any prim lies strictly before far0."""
+    N = ray_o.shape[0]
+    C, F, CM = scene.cl_rows.shape
+    ro, rd, far, Np = _ray_blocks(ray_o, ray_d, far0)
+    grid, in_specs, out1, _out3 = _specs(Np, C)
+    occ = pl.pallas_call(
+        _any_kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out1,
+        out_shape=jax.ShapeDtypeStruct((Np, 1), jnp.bool_),
+        scratch_shapes=[pltpu.VMEM((F, CM), jnp.float32),
+                        pltpu.SemaphoreType.DMA(())],
+        interpret=_INTERPRET,
+    )(ro, rd, far, scene.cl_aabb, scene.cl_rows)
+    return occ[:N, 0]

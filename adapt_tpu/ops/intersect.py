@@ -132,9 +132,22 @@ def ray_intersect(scene, cfg, ray_o, ray_d, max_t=None):
     """Closest-hit intersection for a ray batch; returns Interaction.
 
     max_t: optional (N,) clip distance (reference min_depth semantics:
-    hits are only accepted strictly before max_t - eps). Dispatches to the
-    BVH traversal for large scenes (cfg.use_bvh)."""
-    if cfg.use_bvh:
+    hits are only accepted strictly before max_t - eps). Dispatch: Pallas
+    cluster intersector for big scenes on TPU, Pallas brute kernel for
+    small scenes on TPU, jnp cursor BVH / chunk scan otherwise."""
+    if cfg.use_cluster:
+        from .cluster_pallas import cluster_closest_hit
+        N = ray_o.shape[0]
+        far0 = jnp.full((N,), FAR, jnp.float32) if max_t is None \
+            else jnp.where(max_t > 0.0, max_t - RAY_EPS, FAR)
+        t, gid, u, v, ng, obj = cluster_closest_hit(scene, ray_o, ray_d,
+                                                    far0)
+        # the kernel already finalized sphere normals/uv and obj ids, so
+        # the sphere-override block is skipped (is_sphere_hit = False)
+        return _assemble_interaction(scene, cfg, ray_o, ray_d, t, gid, u,
+                                     v, jnp.zeros((N,), bool), pre_ng=ng,
+                                     pre_obj=obj, pre_final=True)
+    if cfg.use_bvh and not cfg.use_pallas:
         from .bvh import traverse
         best_t, best_prim, best_u, best_v = traverse(scene, ray_o, ray_d,
                                                      max_t)
@@ -210,18 +223,19 @@ def ray_intersect(scene, cfg, ray_o, ray_d, max_t=None):
 
 def _assemble_interaction(scene, cfg, ray_o, ray_d, best_t, best_prim,
                           best_u, best_v, is_sphere_hit, pre_ng=None,
-                          pre_obj=None):
+                          pre_obj=None, pre_final=False):
     """Build the Interaction record from raw hit data
     (reference tracer_base.py:215-237).
 
-    pre_ng/pre_obj: per-lane triangle normal / object id already resolved
-    by the Pallas kernel's VMEM tables (skips two one-hot HBM gathers);
-    sphere-hit lanes still resolve through the prim tables."""
+    pre_ng/pre_obj: per-lane normal / object id already resolved by a
+    Pallas kernel's VMEM tables (skips per-lane HBM gathers). pre_final:
+    the kernel also finalized sphere normals/uv (cluster path), so the
+    sphere-override block is statically skipped."""
     from .gather import tgather
     N = ray_o.shape[0]
     hit = best_prim >= 0
     prim = jnp.maximum(best_prim, 0)
-    S = scene.sph_center.shape[0]
+    S = 0 if pre_final else scene.sph_center.shape[0]
     if pre_obj is not None:
         obj_id = pre_obj
         if S > 0:
@@ -285,7 +299,13 @@ def _prim_to_obj(scene, prim, is_sphere_hit):
 
 def does_intersect(scene, cfg, ray_o, ray_d, max_t=None):
     """Boolean occlusion test (shadow rays); any hit strictly before max_t."""
-    if cfg.use_bvh:
+    if cfg.use_cluster:
+        from .cluster_pallas import cluster_any_hit
+        N = ray_o.shape[0]
+        far0 = jnp.full((N,), FAR, jnp.float32) if max_t is None \
+            else jnp.where(max_t > 0.0, max_t - RAY_EPS, FAR)
+        return cluster_any_hit(scene, ray_o, ray_d, far0)
+    if cfg.use_bvh and not cfg.use_pallas:
         from .bvh import traverse
         _t, prim, _u, _v = traverse(scene, ray_o, ray_d, max_t,
                                     any_hit=True)

@@ -145,6 +145,12 @@ class SceneData:
     bvh_prim_pack: jnp.ndarray  # (P,14) f32, leaf-contiguous order:
                                 #   n|center(3) d|radius(1) U(3) cu(1)
                                 #   V(3) cv(1) is_sphere(1) gid(1)
+    # two-level cluster decomposition for the Pallas big-scene intersector
+    # (ops/cluster_pallas.py): subtree cuts of the SAH tree, each cluster's
+    # prim rows padded to a fixed block so one DMA streams it into VMEM
+    cl_aabb: jnp.ndarray        # (C,8) f32: lo(3) hi(3) pad(2)
+    cl_rows: jnp.ndarray        # (C,24,CM) f32 rows: n|c(3) d|r(1) U(3) cu(1)
+                                #   V(3) cv(1) sph(1) gid(1) ng(3) obj(1)
     # full-length per-prim test data (triangle plane/dual-basis; zeros for
     # sphere prims which use pre0/pre1 instead)
     prim_obj: jnp.ndarray        # (P,) i32 owning object
@@ -190,6 +196,7 @@ class RenderConfig:
     volume_phase: int = 0           # MediumTag of the volume's phase fn
     use_bvh: bool = False           # BVH traversal vs brute-force scan
     use_pallas: bool = False        # Pallas VMEM-resident triangle kernel
+    use_cluster: bool = False       # Pallas two-level cluster intersector
     has_normal_map: bool = False
     has_bump_map: bool = False
     # SSAO (reference renderer/ssao.py:36-38)
@@ -256,6 +263,53 @@ def _texture_table(objects, recs, atlas) -> TextureTable:
                         scale_v=jnp.asarray(sv), c1=jnp.asarray(c1),
                         c2=jnp.asarray(c2), atlas=jnp.asarray(atlas),
                         present=bool((mode > -255).any()))
+
+
+def _cluster_cut(node_pack, rows18):
+    """Cut the skip-offset SAH tree into disjoint subtree clusters.
+
+    Each cluster is a whole subtree with <= CM prims; because the builder
+    stores prims leaf-contiguous in DFS order, every subtree covers a
+    contiguous prim range, so a cluster is just (aabb, row slice). Rows are
+    padded to the fixed CM block size (pad rows carry gid = -1) so the
+    Pallas intersector can stream one cluster with one DMA.
+
+    Returns (cl_aabb (C,8) f32, cl_rows (C,24,CM) f32)."""
+    M = node_pack.shape[0]
+    P = rows18.shape[0]
+    base = node_pack[:, 6].astype(np.int64)
+    cnt = node_pack[:, 7].astype(np.int64)
+    skip = node_pack[:, 8].astype(np.int64)
+    # CM=1024 measured best end-to-end on the 290k knot (2048 halves the
+    # grid-overhead floor but wastes prim tests on hit pairs)
+    cm = 1024 if P > 16384 else 256
+    # first leaf prim at-or-after each node (leaf bases increase in DFS)
+    big = np.int64(1) << 60
+    tmp = np.where(cnt > 0, base, big)
+    nxt = np.minimum.accumulate(tmp[::-1])[::-1]
+    nxt = np.append(np.where(nxt >= big, P, nxt), P)
+
+    clusters = []
+    i = 0
+    while i < M:
+        s = int(nxt[i])
+        e = int(nxt[min(int(skip[i]), M)])
+        n = e - s
+        if n <= cm or cnt[i] > 0:
+            clusters.append((s, n, node_pack[i, 0:6]))
+            i = int(skip[i])
+        else:
+            i += 1
+    C = len(clusters)
+    aabb = np.zeros((C, 8), np.float32)
+    # (C, 24, CM): fields on sublanes, prims on lanes (128-aligned DMA
+    # slices; see ops/cluster_pallas.py layout note)
+    rows = np.zeros((C, 24, cm), np.float32)
+    rows[:, 13, :] = -1.0                      # gid row: mark padding
+    for k, (s, n, box) in enumerate(clusters):
+        aabb[k, :6] = box
+        rows[k, :18, :n] = rows18[s:s + n].T
+    return aabb, rows
 
 
 def compile_scene(emitters, array_info, objects, configs, scene_dir="."):
@@ -350,11 +404,19 @@ def compile_scene(emitters, array_info, objects, configs, scene_dir="."):
             [a, b[:, None], prim_U, prim_cu[:, None], prim_V,
              prim_cv[:, None], prim_is_sphere[:, None].astype(np.float32),
              np.arange(P, dtype=np.float32)[:, None]], axis=1)
+        rows18 = np.concatenate(
+            [prim_pack, n_g.astype(np.float32),
+             prim_obj[:, None].astype(np.float32)], axis=1)
+        cl_aabb, cl_rows = _cluster_cut(node_pack, rows18[prim_order])
         bvh = dict(bvh_node_pack=jnp.asarray(node_pack),
-                   bvh_prim_pack=jnp.asarray(prim_pack[prim_order]))
+                   bvh_prim_pack=jnp.asarray(prim_pack[prim_order]),
+                   cl_aabb=jnp.asarray(cl_aabb),
+                   cl_rows=jnp.asarray(cl_rows))
     else:
         bvh = dict(bvh_node_pack=jnp.zeros((1, 9), jnp.float32),
-                   bvh_prim_pack=jnp.zeros((1, 14), jnp.float32))
+                   bvh_prim_pack=jnp.zeros((1, 14), jnp.float32),
+                   cl_aabb=jnp.zeros((1, 8), jnp.float32),
+                   cl_rows=jnp.zeros((1, 24, 128), jnp.float32))
 
     # --- camera ---
     cam_orient = configs["transform"][0].astype(np.float32)
@@ -402,11 +464,13 @@ def compile_scene(emitters, array_info, objects, configs, scene_dir="."):
         volume_kind=int(vol_rec.type_id),
         volume_phase=int(vol_rec.phase_type_id),
         use_bvh=use_bvh,
-        # Pallas triangle kernel: brute-force-size scenes on a real TPU
-        # (Mosaic); CPU tests opt in via interpret mode.
-        use_pallas=(not use_bvh and len(tri_ids) > 0
-                    and len(tri_ids) <= 256
+        # Pallas triangle kernel: small scenes on a real TPU (Mosaic);
+        # CPU tests opt in via interpret mode.
+        use_pallas=(len(tri_ids) > 0 and len(tri_ids) <= 256 and P <= 256
                     and jax.default_backend() != "cpu"),
+        # Pallas cluster intersector: big scenes on TPU (the jnp cursor
+        # walk's per-lane gathers measure ~100x off HBM bandwidth there)
+        use_cluster=(P > 256 and jax.default_backend() != "cpu"),
         has_normal_map=any(obj.texture_group.get("normal") is not None
                            for obj in objects),
         has_bump_map=any(obj.texture_group.get("bump") is not None

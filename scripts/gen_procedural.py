@@ -70,6 +70,7 @@ def ensure(name, n_u, n_v):
 
 
 def ensure_all():
+    ensure("knot2k.obj", 100, 10)       # 2,000 tris (cluster-path tests)
     ensure("knot90k.obj", 900, 50)      # 90,000 tris
     ensure("knot290k.obj", 1450, 100)   # 290,000 tris
 

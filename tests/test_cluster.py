@@ -1,0 +1,98 @@
+"""Pallas cluster intersector == jnp cursor BVH walk (big-scene path).
+
+Runs the cluster kernel in interpret mode on a 2k-tri knot + sphere scene
+(scenes/cbox/knot2k-test.xml, generated fixture) and checks hit ids match
+the cursor walk exactly, floats to ~1 ULP. Covers closest-hit, sphere
+rows (in-kernel spherical uv/normal finalization), max_t-clipped any-hit,
+and the compile-time cluster cut's coverage invariants.
+"""
+import dataclasses
+import os
+import subprocess
+import sys
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from conftest import SCENE_DIR
+
+REPO = os.path.join(os.path.dirname(__file__), "..")
+
+
+@pytest.fixture(scope="module", autouse=True)
+def interpret_mode():
+    subprocess.run([sys.executable,
+                    os.path.join(REPO, "scripts", "gen_procedural.py")],
+                   check=True)
+    from adapt_tpu.ops import cluster_pallas
+    old = cluster_pallas._INTERPRET
+    cluster_pallas._INTERPRET = True
+    yield
+    cluster_pallas._INTERPRET = old
+
+
+@pytest.fixture(scope="module")
+def knot():
+    from adapt_tpu.scene.compile import load_scene
+    scene, cfg, _ = load_scene(SCENE_DIR + "/cbox/", "knot2k-test.xml")
+    cfg = dataclasses.replace(
+        cfg, w=24, h=24, focal=cfg.focal * 24 / 512, end_x=24, end_y=24,
+        anti_alias=False, stratified_sampling=False)
+    assert scene.cl_rows.shape[0] > 1          # really clustered
+    return scene, cfg
+
+
+def _rays(scene, cfg, key):
+    from adapt_tpu.renderer.base import camera_rays
+    ro, rd = camera_rays(scene, cfg, jax.random.PRNGKey(0), jnp.int32(0))
+    k1, k2 = jax.random.split(key)
+    t = jax.random.uniform(k1, (ro.shape[0], 1), minval=0.2, maxval=3.0)
+    o2 = ro + rd * t
+    d2 = jax.random.normal(k2, rd.shape)
+    d2 = d2 / jnp.linalg.norm(d2, axis=-1, keepdims=True)
+    return jnp.concatenate([ro, o2], 0), jnp.concatenate([rd, d2], 0)
+
+
+def test_cluster_cut_covers_all_prims(knot):
+    scene, _ = knot
+    gids = np.asarray(scene.cl_rows[:, 13, :]).reshape(-1)
+    got = np.sort(gids[gids >= 0].astype(np.int64))
+    P = np.asarray(scene.prim_obj).shape[0]
+    assert got.size == P                       # disjoint exact cover
+    assert (got == np.arange(P)).all()
+
+
+def test_cluster_closest_matches_cursor(knot):
+    scene, cfg = knot
+    from adapt_tpu.ops.intersect import ray_intersect
+    ro, rd = _rays(scene, cfg, jax.random.PRNGKey(7))
+    ref = ray_intersect(scene, dataclasses.replace(cfg, use_cluster=False),
+                        ro, rd)
+    got = ray_intersect(scene, dataclasses.replace(cfg, use_cluster=True),
+                        ro, rd)
+    assert (np.asarray(got.prim_id) == np.asarray(ref.prim_id)).all()
+    assert (np.asarray(got.obj_id) == np.asarray(ref.obj_id)).all()
+    np.testing.assert_allclose(np.asarray(got.t), np.asarray(ref.t),
+                               rtol=2e-6)
+    # near-zero barycentrics cancel ~1e2-magnitude dot products, so the
+    # absolute floor is a few ULP of the operands, not of the result
+    np.testing.assert_allclose(np.asarray(got.uv), np.asarray(ref.uv),
+                               rtol=2e-4, atol=5e-5)
+    np.testing.assert_allclose(np.asarray(got.n_g), np.asarray(ref.n_g),
+                               rtol=2e-5, atol=2e-6)
+
+
+def test_cluster_any_hit_matches_cursor(knot):
+    scene, cfg = knot
+    from adapt_tpu.ops.intersect import does_intersect
+    ro, rd = _rays(scene, cfg, jax.random.PRNGKey(9))
+    for max_t in (None, jnp.full((ro.shape[0],), 2.0, jnp.float32)):
+        ref = does_intersect(scene,
+                             dataclasses.replace(cfg, use_cluster=False),
+                             ro, rd, max_t)
+        got = does_intersect(scene,
+                             dataclasses.replace(cfg, use_cluster=True),
+                             ro, rd, max_t)
+        assert (np.asarray(got) == np.asarray(ref)).all()
