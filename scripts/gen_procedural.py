@@ -47,7 +47,16 @@ def torus_knot(n_u, n_v, p=2, q=3, R=1.0, r=0.35, tube=0.18):
     i11 = np.roll(np.roll(idx, -1, axis=0), -1, axis=1)
     f1 = np.stack([i00, i10, i11], axis=-1).reshape(-1, 3)
     f2 = np.stack([i00, i11, i01], axis=-1).reshape(-1, 3)
-    return verts, np.concatenate([f1, f2], axis=0)
+    faces = np.concatenate([f1, f2], axis=0)
+    # orient windings outward (one-sided materials need CCW-outward): a
+    # face normal must point away from the tube's center-curve point
+    centers = np.repeat(c, n_v, axis=0)
+    fv = verts[faces]
+    fn = np.cross(fv[:, 1] - fv[:, 0], fv[:, 2] - fv[:, 0])
+    out_dir = fv.mean(1) - centers[faces[:, 0]]
+    flip = np.einsum("fd,fd->f", fn, out_dir) < 0
+    faces[flip] = faces[flip][:, [0, 2, 1]]
+    return verts, faces
 
 
 def write_obj(path, verts, faces):
