@@ -78,10 +78,50 @@ def ensure(name, n_u, n_v):
     return path
 
 
+def ensure_at(relpath, n_u, n_v, **kw):
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    path = os.path.join(here, "scenes", "meshes", relpath)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    if not os.path.exists(path):
+        verts, faces = torus_knot(n_u, n_v, **kw)
+        write_obj(path, verts, faces)
+        print(f"wrote {path}: {faces.shape[0]} tris")
+    return path
+
+
+def ensure_texture(relpath, size=256):
+    """Deterministic marble-ish RGB texture for scenes that reference
+    unshipped texture assets."""
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    path = os.path.join(here, "scenes", "meshes", relpath)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    if not os.path.exists(path):
+        y, x = np.mgrid[0:size, 0:size] / size
+        v = 0.5 + 0.5 * np.sin(8 * np.pi * x + 4 * np.sin(2 * np.pi * y))
+        img = np.stack([0.4 + 0.5 * v, 0.5 + 0.3 * v, 0.8 - 0.3 * v], -1)
+        from PIL import Image
+        Image.fromarray((img * 255).astype(np.uint8)).save(path)
+        print(f"wrote {path}")
+    return path
+
+
 def ensure_all():
     ensure("knot2k.obj", 100, 10)       # 2,000 tris (cluster-path tests)
     ensure("knot90k.obj", 900, 50)      # 90,000 tris
     ensure("knot290k.obj", 1450, 100)   # 290,000 tris
+    # stand-ins for reference scene assets the reference repo does not
+    # ship (external downloads): geometry differs (torus knots), but the
+    # scenes become runnable end-to-end
+    ensure_at("bvh-benchmark/bunny.obj", 900, 50)
+    ensure_at("bvh-benchmark/bunny-full.obj", 1200, 120)   # 288k tris
+    ensure_at("cornell/bunny_body.obj", 300, 24, R=0.3, r=0.12, tube=0.06)
+    ensure_at("cornell/bunny_head.obj", 120, 12, R=0.15, r=0.06,
+              tube=0.035)
+    ensure_at("cornell/bunny_full1.obj", 400, 30, R=0.35, r=0.12,
+              tube=0.06)
+    ensure_at("cornell/bunny_full2.obj", 400, 30, R=0.35, r=0.12,
+              tube=0.06)
+    ensure_texture("textures/crystal.jpg")
 
 
 if __name__ == "__main__":
