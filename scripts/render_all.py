@@ -39,6 +39,10 @@ SCENES = [
     ("trans", "cbox-point.xml", "bdpt"),
     ("trans", "cbox-collimated.xml", "bdpt"),
     ("trans", "balls-mono.xml", "bdpt"),
+    # stand-in meshes (scripts/gen_procedural.py) make these runnable
+    ("cbox", "bunny.xml", "pt"),
+    ("cbox", "bvh-benchmark.xml", "pt"),
+    ("cbox", "knot2k-test.xml", "pt"),
 ]
 
 
