@@ -5,12 +5,29 @@ tables every step; on a 290k-prim scene those gathers measure ~100x off
 HBM bandwidth on v5e (one 512^2 primary intersect = seconds). TPUs want
 dense, predictable DMA + VMEM compute, so the tree is cut at scene-compile
 time into C disjoint subtree clusters of <= CM prims (scene/compile.py
-`_cluster_cut`), each a contiguous padded block. The kernel grid is
-(ray_tiles, clusters): a ray tile stays VMEM-resident while the cluster
-sweep runs; each step does one 8-float AABB test against the whole tile
-and ONLY on a hit DMAs the cluster's prim block into VMEM scratch and
-brute-force tests it in lane chunks — the same exact-f32 VPU
-plane/dual-basis test as ops/intersect_pallas.py.
+`_cluster_cut`), each a contiguous padded block.
+
+The kernel grid is (ray_tiles,): a ray tile stays VMEM-resident while an
+in-kernel fori_loop sweeps all clusters **front-to-back** (per-tile-group
+order from `_tile_cluster_order`, delivered via scalar prefetch), so the
+per-lane `t_near < t_best` prune starts rejecting clusters after the first
+hits land.
+
+Per-sweep-step culling is two-phase, shaped for the VPU's (8,128) vregs:
+ 1. A (B, Cp) slab test of the WHOLE tile against ALL cluster boxes at
+    once (fields-on-sublanes table `cl_aabb_t`), reduced over lanes to a
+    (1, Cp) any-ray mask in VMEM scratch, refreshed every REMASK sweep
+    steps with the current per-lane t_best. Per-step culling is then one
+    one-hot extract from the mask. (A per-step (B,1)-shaped slab test
+    wastes 127/128 VPU lanes and measured ~1.1 us x C x tiles — it was
+    the dominant cost of the whole intersect.)
+ 2. For mask survivors, a (B, K) slab test against the cluster's K
+    per-128-prim chunk AABBs (`cl_chunk`, tight sub-subtree boxes since
+    chunks are contiguous DFS runs) gates the DMA and each brute chunk.
+
+Only on a chunk hit is the cluster's prim block DMA'd into VMEM scratch
+and brute-force tested with the same exact-f32 VPU plane/dual-basis test
+as ops/intersect_pallas.py.
 
 Layout: prim blocks are (F=24, CM) — fields on sublanes, prims on lanes —
 so DMA slices stay 128-aligned and rays ride their natural (N,3) layout
@@ -35,10 +52,12 @@ from jax.experimental.pallas import tpu as pltpu
 RAY_EPS = 1e-4
 FAR = 1e7
 ROW_F = 24             # padded field count (18 used)
-LANE_B = 512           # rays per tile (sublanes of the intermediates);
+LANE_B = 256           # rays per tile (sublanes of the intermediates);
                        # 1024 blew the 16M VMEM budget (~18 live (B,TC)
                        # buffers in the prim test)
 TC = 128               # prims tested per inner chunk (lanes; 128-aligned)
+G_ORDER = 8            # ray tiles sharing one front-to-back cluster order
+REMASK = 32            # sweep steps between box-mask refreshes
 
 _INTERPRET = False     # flipped by tests on backends without Mosaic
 
@@ -81,126 +100,186 @@ def _prim_chunk_test(r, ro, rd):
     return t, u, v
 
 
-def _tile_box_hit(ab_ref, j, ro, inv_d, t_best):
-    """Slab test of cluster j's AABB against the whole (B,3) ray tile."""
-    box = ab_ref[j, :]                        # (8,) dynamic row read
-    t_near = jnp.full(t_best.shape, -jnp.inf, jnp.float32)
-    t_far = jnp.full(t_best.shape, jnp.inf, jnp.float32)
+def _slab_lanes(table_row, ro, inv_d, t_best):
+    """Slab test of the (B,3) tile against M boxes laid out on lanes.
+
+    table_row(k) must return the (1, M) row of field k (0:3 lo, 3:6 hi).
+    Returns (B, M) bool: box hit with entry before the lane's t_best."""
+    shape = (ro.shape[0], table_row(0).shape[1])
+    t_near = jnp.full(shape, -jnp.inf, jnp.float32)
+    t_far = jnp.full(shape, jnp.inf, jnp.float32)
     for k in range(3):
-        t1 = (box[k] - ro[:, k:k + 1]) * inv_d[:, k:k + 1]
-        t2 = (box[k + 3] - ro[:, k:k + 1]) * inv_d[:, k:k + 1]
+        t1 = (table_row(k) - ro[:, k:k + 1]) * inv_d[:, k:k + 1]
+        t2 = (table_row(k + 3) - ro[:, k:k + 1]) * inv_d[:, k:k + 1]
         t_near = jnp.maximum(t_near, jnp.minimum(t1, t2))
         t_far = jnp.minimum(t_far, jnp.maximum(t1, t2))
     return (t_far >= jnp.maximum(t_near, 0.0)) & (t_near < t_best)
 
 
-def _closest_kernel(ro_ref, rd_ref, far_ref, ab_ref, rows_hbm,
-                    t_o, g_o, u_o, v_o, ng_o, ob_o, sph_o, buf, sem):
-    j = pl.program_id(1)
-    CM = buf.shape[1]
+def _refresh_mask(m_ref, abt_ref, ro, inv_d, t_best):
+    """(1, Cp) any-lane cluster mask from a full vectorized slab pass."""
+    hit = _slab_lanes(lambda k: abt_ref[k:k + 1, :], ro, inv_d, t_best)
+    m_ref[0:1, :] = jnp.any(hit, axis=0, keepdims=True).astype(jnp.float32)
 
-    @pl.when(j == 0)
-    def _():
-        t_o[:] = far_ref[:]
-        g_o[:] = jnp.full_like(g_o[:], -1)
-        u_o[:] = jnp.zeros_like(u_o[:])
-        v_o[:] = jnp.zeros_like(v_o[:])
-        ng_o[:, 0:1] = jnp.ones_like(ng_o[:, 0:1])
-        ng_o[:, 1:3] = jnp.zeros_like(ng_o[:, 1:3])
-        ob_o[:] = jnp.full_like(ob_o[:], -1)
-        sph_o[:] = jnp.zeros_like(sph_o[:])
+
+def _mask_at(m_ref, idx):
+    """Scalar mask value for cluster idx via a one-hot lane reduction."""
+    Cp = m_ref.shape[1]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, Cp), 1)
+    return jnp.sum(jnp.where(lane == idx, m_ref[0:1, :], 0.0))
+
+
+def _chunk_hits(cab_ref, idx, K, ro, inv_d, t_best):
+    """(B, K) slab test against cluster idx's K chunk AABBs."""
+    cab = cab_ref[pl.ds(idx * 8, 8), :]                  # (8, K)
+    return _slab_lanes(lambda k: cab[k:k + 1, :], ro, inv_d, t_best)
+
+
+def _closest_kernel(order_ref, ro_ref, rd_ref, far_ref, abt_ref, cab_ref,
+                    rows_hbm, t_o, g_o, u_o, v_o, ng_o, ob_o, sph_o, buf,
+                    m_ref, sem):
+    i = pl.program_id(0)
+    C = order_ref.shape[1]
+    CM = buf.shape[1]
+    K = CM // TC
+
+    t_o[:] = far_ref[:]
+    g_o[:] = jnp.full_like(g_o[:], -1)
+    u_o[:] = jnp.zeros_like(u_o[:])
+    v_o[:] = jnp.zeros_like(v_o[:])
+    ng_o[:, 0:1] = jnp.ones_like(ng_o[:, 0:1])
+    ng_o[:, 1:3] = jnp.zeros_like(ng_o[:, 1:3])
+    ob_o[:] = jnp.full_like(ob_o[:], -1)
+    sph_o[:] = jnp.zeros_like(sph_o[:])
 
     ro = ro_ref[:]                            # (B, 3)
     rd = rd_ref[:]
     inv_d = 1.0 / jnp.where(jnp.abs(rd) < 1e-9, 1e-9, rd)
-    box_hit = _tile_box_hit(ab_ref, j, ro, inv_d, t_o[:])   # (B, 1)
 
-    @pl.when(jnp.any(box_hit))
-    def _():
-        dma = pltpu.make_async_copy(rows_hbm.at[j], buf, sem)
-        dma.start()
-        dma.wait()
+    def sweep(j, _s):
+        @pl.when(j % REMASK == 0)
+        def _():
+            _refresh_mask(m_ref, abt_ref, ro, inv_d, t_o[:])
 
-        def chunk(kc, _):
-            r = buf[:, pl.ds(kc * TC, TC)]    # (24, TC)
-            t, u, v = _prim_chunk_test(r, ro, rd)           # (B, TC)
-            bt = jnp.min(t, axis=1, keepdims=True)          # (B, 1)
-            col = jax.lax.broadcasted_iota(jnp.int32, t.shape, 1)
-            bi = jnp.min(jnp.where(t == bt, col, TC), axis=1,
-                         keepdims=True)
-            better = (bt < t_o[:]) & box_hit
-            one_hot = col == bi
+        idx = order_ref[i // G_ORDER, j]
 
-            def sel(row):                     # (1,TC) field row -> (B,1)
-                return jnp.sum(jnp.where(one_hot, row, 0.0), axis=1,
-                               keepdims=True)
+        @pl.when(_mask_at(m_ref, idx) > 0.0)
+        def _():
+            chm = _chunk_hits(cab_ref, idx, K, ro, inv_d, t_o[:])  # (B,K)
 
-            def selv(vals):                   # (B,TC) values -> (B,1)
-                return jnp.sum(jnp.where(one_hot, vals, 0.0), axis=1,
-                               keepdims=True)
+            @pl.when(jnp.any(chm))
+            def _():
+                dma = pltpu.make_async_copy(rows_hbm.at[idx], buf, sem)
+                dma.start()
+                dma.wait()
+                for kc in range(K):           # static unroll (K = CM/128)
+                    ch_hit = chm[:, kc:kc + 1]
 
-            # sphere lanes get their final normal here; spherical uv needs
-            # atan2/arccos (no Pallas TPU lowering), so the wrapper derives
-            # it from n_g on the sphere-flagged lanes
-            is_sph = sel(r[12:13, :]) > 0.5
-            hx = ro[:, 0:1] + bt * rd[:, 0:1] - sel(r[0:1, :])
-            hy = ro[:, 1:2] + bt * rd[:, 1:2] - sel(r[1:2, :])
-            hz = ro[:, 2:3] + bt * rd[:, 2:3] - sel(r[2:3, :])
-            inv_n = jax.lax.rsqrt(jnp.maximum(hx * hx + hy * hy + hz * hz,
-                                              1e-24))
-            nx, ny, nz = hx * inv_n, hy * inv_n, hz * inv_n
+                    @pl.when(jnp.any(ch_hit))
+                    def _(kc=kc, ch_hit=ch_hit):
+                        r = buf[:, kc * TC:(kc + 1) * TC]       # (24, TC)
+                        t, u, v = _prim_chunk_test(r, ro, rd)   # (B, TC)
+                        bt = jnp.min(t, axis=1, keepdims=True)  # (B, 1)
+                        col = jax.lax.broadcasted_iota(jnp.int32, t.shape,
+                                                       1)
+                        bi = jnp.min(jnp.where(t == bt, col, TC), axis=1,
+                                     keepdims=True)
+                        better = (bt < t_o[:]) & ch_hit
+                        one_hot = col == bi
 
-            t_o[:] = jnp.where(better, bt, t_o[:])
-            g_o[:] = jnp.where(better, sel(r[13:14, :]).astype(jnp.int32),
-                               g_o[:])
-            u_o[:] = jnp.where(better, selv(u), u_o[:])
-            v_o[:] = jnp.where(better, selv(v), v_o[:])
-            ng_o[:, 0:1] = jnp.where(
-                better, jnp.where(is_sph, nx, sel(r[14:15, :])),
-                ng_o[:, 0:1])
-            ng_o[:, 1:2] = jnp.where(
-                better, jnp.where(is_sph, ny, sel(r[15:16, :])),
-                ng_o[:, 1:2])
-            ng_o[:, 2:3] = jnp.where(
-                better, jnp.where(is_sph, nz, sel(r[16:17, :])),
-                ng_o[:, 2:3])
-            ob_o[:] = jnp.where(better, sel(r[17:18, :]).astype(jnp.int32),
-                                ob_o[:])
-            sph_o[:] = jnp.where(better, is_sph.astype(jnp.int32), sph_o[:])
-            return 0
+                        def sel(row):         # (1,TC) field row -> (B,1)
+                            return jnp.sum(jnp.where(one_hot, row, 0.0),
+                                           axis=1, keepdims=True)
 
-        jax.lax.fori_loop(0, CM // TC, chunk, 0)
+                        def selv(vals):       # (B,TC) values -> (B,1)
+                            return jnp.sum(jnp.where(one_hot, vals, 0.0),
+                                           axis=1, keepdims=True)
+
+                        # sphere lanes get their final normal here;
+                        # spherical uv needs atan2/arccos (no Pallas TPU
+                        # lowering), so the wrapper derives it from n_g
+                        is_sph = sel(r[12:13, :]) > 0.5
+                        hx = ro[:, 0:1] + bt * rd[:, 0:1] - sel(r[0:1, :])
+                        hy = ro[:, 1:2] + bt * rd[:, 1:2] - sel(r[1:2, :])
+                        hz = ro[:, 2:3] + bt * rd[:, 2:3] - sel(r[2:3, :])
+                        inv_n = jax.lax.rsqrt(
+                            jnp.maximum(hx * hx + hy * hy + hz * hz,
+                                        1e-24))
+                        nx, ny, nz = hx * inv_n, hy * inv_n, hz * inv_n
+
+                        t_o[:] = jnp.where(better, bt, t_o[:])
+                        g_o[:] = jnp.where(
+                            better, sel(r[13:14, :]).astype(jnp.int32),
+                            g_o[:])
+                        u_o[:] = jnp.where(better, selv(u), u_o[:])
+                        v_o[:] = jnp.where(better, selv(v), v_o[:])
+                        ng_o[:, 0:1] = jnp.where(
+                            better,
+                            jnp.where(is_sph, nx, sel(r[14:15, :])),
+                            ng_o[:, 0:1])
+                        ng_o[:, 1:2] = jnp.where(
+                            better,
+                            jnp.where(is_sph, ny, sel(r[15:16, :])),
+                            ng_o[:, 1:2])
+                        ng_o[:, 2:3] = jnp.where(
+                            better,
+                            jnp.where(is_sph, nz, sel(r[16:17, :])),
+                            ng_o[:, 2:3])
+                        ob_o[:] = jnp.where(
+                            better, sel(r[17:18, :]).astype(jnp.int32),
+                            ob_o[:])
+                        sph_o[:] = jnp.where(
+                            better, is_sph.astype(jnp.int32), sph_o[:])
+        return 0
+
+    jax.lax.fori_loop(0, C, sweep, 0)
 
 
-def _any_kernel(ro_ref, rd_ref, far_ref, ab_ref, rows_hbm, occ_o, buf, sem):
-    j = pl.program_id(1)
+def _any_kernel(order_ref, ro_ref, rd_ref, far_ref, abt_ref, cab_ref,
+                rows_hbm, occ_o, buf, m_ref, sem):
+    i = pl.program_id(0)
+    C = order_ref.shape[1]
     CM = buf.shape[1]
+    K = CM // TC
 
-    @pl.when(j == 0)
-    def _():
-        occ_o[:] = jnp.zeros_like(occ_o[:])
+    occ_o[:] = jnp.zeros_like(occ_o[:])
 
     ro = ro_ref[:]
     rd = rd_ref[:]
     inv_d = 1.0 / jnp.where(jnp.abs(rd) < 1e-9, 1e-9, rd)
-    far = jnp.where(occ_o[:], 0.0, far_ref[:])     # done lanes prune boxes
-    box_hit = _tile_box_hit(ab_ref, j, ro, inv_d, far)
 
-    @pl.when(jnp.any(box_hit))
-    def _():
-        dma = pltpu.make_async_copy(rows_hbm.at[j], buf, sem)
-        dma.start()
-        dma.wait()
+    def sweep(j, _s):
+        @pl.when(j % REMASK == 0)
+        def _():
+            # done lanes prune boxes (-inf beats inside-the-box t_near<0)
+            far = jnp.where(occ_o[:], -jnp.inf, far_ref[:])
+            _refresh_mask(m_ref, abt_ref, ro, inv_d, far)
 
-        def chunk(kc, _):
-            r = buf[:, pl.ds(kc * TC, TC)]
-            t, _u, _v = _prim_chunk_test(r, ro, rd)
-            hit = jnp.any((t < far_ref[:]) & box_hit, axis=1,
-                          keepdims=True)
-            occ_o[:] = occ_o[:] | hit
-            return 0
+        idx = order_ref[i // G_ORDER, j]
 
-        jax.lax.fori_loop(0, CM // TC, chunk, 0)
+        @pl.when(_mask_at(m_ref, idx) > 0.0)
+        def _():
+            far = jnp.where(occ_o[:], -jnp.inf, far_ref[:])
+            chm = _chunk_hits(cab_ref, idx, K, ro, inv_d, far)
+
+            @pl.when(jnp.any(chm))
+            def _():
+                dma = pltpu.make_async_copy(rows_hbm.at[idx], buf, sem)
+                dma.start()
+                dma.wait()
+                for kc in range(K):
+                    ch_hit = chm[:, kc:kc + 1]
+
+                    @pl.when(jnp.any(ch_hit))
+                    def _(kc=kc, ch_hit=ch_hit):
+                        r = buf[:, kc * TC:(kc + 1) * TC]
+                        t, _u, _v = _prim_chunk_test(r, ro, rd)
+                        hit = jnp.any((t < far_ref[:]) & ch_hit, axis=1,
+                                      keepdims=True)
+                        occ_o[:] = occ_o[:] | hit
+        return 0
+
+    jax.lax.fori_loop(0, C, sweep, 0)
 
 
 def _ray_blocks(ray_o, ray_d, far0):
@@ -212,21 +291,58 @@ def _ray_blocks(ray_o, ray_d, far0):
     return ro, rd, far, Np
 
 
+def _tile_cluster_order(cl_aabb, ro, rd):
+    """(n_tile_groups, C) i32: clusters sorted front-to-back per group of
+    G_ORDER adjacent ray tiles.
+
+    Each group's representative ray = (mean origin, normalized mean
+    direction); clusters are keyed by slab-test entry distance, with
+    missed boxes pushed behind all hit boxes ordered by centroid distance.
+    Order only affects how fast the kernel's per-lane `t_near < t_best`
+    prune starts firing — correctness never depends on it. Coherence-
+    sorted tiles (intersect._coherence_sort) share origin cell and
+    direction octant, so the representative ray is meaningful. Grouping
+    keeps the prefetched SMEM table small (a per-tile table at 512 tiles x
+    415 clusters overflowed the 1M SMEM budget)."""
+    nt = ro.shape[0] // LANE_B
+    ng = -(-nt // G_ORDER)
+    pad = ng * G_ORDER * LANE_B - ro.shape[0]
+    if pad:
+        ro = jnp.pad(ro, ((0, pad), (0, 0)), mode="edge")
+        rd = jnp.pad(rd, ((0, pad), (0, 0)), mode="edge")
+    o = ro.reshape(ng, G_ORDER * LANE_B, 3).mean(1)    # (ng,3)
+    d = rd.reshape(ng, G_ORDER * LANE_B, 3).mean(1)
+    dn = jnp.sqrt(jnp.sum(d * d, -1, keepdims=True))
+    d = jnp.where(dn > 1e-3, d / jnp.maximum(dn, 1e-6),
+                  jnp.array([1.0, 0.0, 0.0], jnp.float32))
+    lo, hi = cl_aabb[:, 0:3], cl_aabb[:, 3:6]          # (C,3)
+    inv = 1.0 / jnp.where(jnp.abs(d) < 1e-6, 1e-6, d)
+    t1 = (lo[None] - o[:, None]) * inv[:, None]        # (ng,C,3)
+    t2 = (hi[None] - o[:, None]) * inv[:, None]
+    tn = jnp.max(jnp.minimum(t1, t2), -1)
+    tf = jnp.min(jnp.maximum(t1, t2), -1)
+    hit = tf >= jnp.maximum(tn, 0.0)
+    c = (lo + hi) * 0.5
+    dist = jnp.sqrt(jnp.sum((c[None] - o[:, None]) ** 2, -1))
+    key = jnp.where(hit, jnp.maximum(tn, 0.0), 1e6 + dist)
+    return jnp.argsort(key, axis=1).astype(jnp.int32)
+
+
 @functools.lru_cache(maxsize=None)
-def _specs(Np, C):
-    grid = (Np // LANE_B, C)
-    ray = pl.BlockSpec((LANE_B, 3), lambda i, j: (i, 0),
+def _specs(Np):
+    grid = (Np // LANE_B,)
+    ray = pl.BlockSpec((LANE_B, 3), lambda i, *_: (i, 0),
                        memory_space=pltpu.VMEM)
-    far = pl.BlockSpec((LANE_B, 1), lambda i, j: (i, 0),
+    far = pl.BlockSpec((LANE_B, 1), lambda i, *_: (i, 0),
                        memory_space=pltpu.VMEM)
-    # whole (C,8) table resident (KBs); Mosaic rejects (1,8) sublane blocks
+    # whole (8,Cp)/(C*8,K) tables resident (hundreds of KB at most)
     ab = pl.BlockSpec(memory_space=pltpu.VMEM)
-    rows = pl.BlockSpec(memory_space=pltpu.ANY)    # whole array, manual DMA
-    out1 = pl.BlockSpec((LANE_B, 1), lambda i, j: (i, 0),
+    rows = pl.BlockSpec(memory_space=pl.ANY)       # whole array, manual DMA
+    out1 = pl.BlockSpec((LANE_B, 1), lambda i, *_: (i, 0),
                         memory_space=pltpu.VMEM)
-    out3 = pl.BlockSpec((LANE_B, 3), lambda i, j: (i, 0),
+    out3 = pl.BlockSpec((LANE_B, 3), lambda i, *_: (i, 0),
                         memory_space=pltpu.VMEM)
-    return grid, [ray, ray, far, ab, rows], out1, out3
+    return grid, [ray, ray, far, ab, ab, rows], out1, out3
 
 
 def cluster_closest_hit(scene, ray_o, ray_d, far0):
@@ -236,13 +352,20 @@ def cluster_closest_hit(scene, ray_o, ray_d, far0):
     on miss. Float fields match the jnp cursor walk up to FMA rounding."""
     N = ray_o.shape[0]
     C, F, CM = scene.cl_rows.shape
+    Cp = scene.cl_aabb_t.shape[1]
     ro, rd, far, Np = _ray_blocks(ray_o, ray_d, far0)
-    grid, in_specs, out1, out3 = _specs(Np, C)
+    order = _tile_cluster_order(scene.cl_aabb, ro, rd)
+    grid, in_specs, out1, out3 = _specs(Np)
     t, gid, u, v, ng, obj, sph = pl.pallas_call(
         _closest_kernel,
-        grid=grid,
-        in_specs=in_specs,
-        out_specs=[out1, out1, out1, out1, out3, out1, out1],
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=[out1, out1, out1, out1, out3, out1, out1],
+            scratch_shapes=[pltpu.VMEM((F, CM), jnp.float32),
+                            pltpu.VMEM((8, Cp), jnp.float32),
+                            pltpu.SemaphoreType.DMA(())]),
         out_shape=[jax.ShapeDtypeStruct((Np, 1), jnp.float32),
                    jax.ShapeDtypeStruct((Np, 1), jnp.int32),
                    jax.ShapeDtypeStruct((Np, 1), jnp.float32),
@@ -250,10 +373,8 @@ def cluster_closest_hit(scene, ray_o, ray_d, far0):
                    jax.ShapeDtypeStruct((Np, 3), jnp.float32),
                    jax.ShapeDtypeStruct((Np, 1), jnp.int32),
                    jax.ShapeDtypeStruct((Np, 1), jnp.int32)],
-        scratch_shapes=[pltpu.VMEM((F, CM), jnp.float32),
-                        pltpu.SemaphoreType.DMA(())],
         interpret=_INTERPRET,
-    )(ro, rd, far, scene.cl_aabb, scene.cl_rows)
+    )(order, ro, rd, far, scene.cl_aabb_t, scene.cl_chunk, scene.cl_rows)
     ng = ng[:N]
     # spherical uv from the (already final) sphere normal
     # (reference tracer_base.py:226-231 formulas)
@@ -269,16 +390,21 @@ def cluster_any_hit(scene, ray_o, ray_d, far0):
     """True where any prim lies strictly before far0."""
     N = ray_o.shape[0]
     C, F, CM = scene.cl_rows.shape
+    Cp = scene.cl_aabb_t.shape[1]
     ro, rd, far, Np = _ray_blocks(ray_o, ray_d, far0)
-    grid, in_specs, out1, _out3 = _specs(Np, C)
+    order = _tile_cluster_order(scene.cl_aabb, ro, rd)
+    grid, in_specs, out1, _out3 = _specs(Np)
     occ = pl.pallas_call(
         _any_kernel,
-        grid=grid,
-        in_specs=in_specs,
-        out_specs=out1,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=out1,
+            scratch_shapes=[pltpu.VMEM((F, CM), jnp.float32),
+                            pltpu.VMEM((8, Cp), jnp.float32),
+                            pltpu.SemaphoreType.DMA(())]),
         out_shape=jax.ShapeDtypeStruct((Np, 1), jnp.bool_),
-        scratch_shapes=[pltpu.VMEM((F, CM), jnp.float32),
-                        pltpu.SemaphoreType.DMA(())],
         interpret=_INTERPRET,
-    )(ro, rd, far, scene.cl_aabb, scene.cl_rows)
+    )(order, ro, rd, far, scene.cl_aabb_t, scene.cl_chunk, scene.cl_rows)
     return occ[:N, 0]

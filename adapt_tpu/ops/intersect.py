@@ -291,18 +291,24 @@ def _assemble_interaction(scene, cfg, ray_o, ray_d, best_t, best_prim,
 
 
 def _coherence_sort(scene, ray_o, ray_d):
-    """Sort rays by (origin cell, direction octant) so cluster-kernel ray
-    tiles share spatial locality — bounce rays are incoherent and would
-    otherwise drag every tile through every cluster (measured 1.6x on
-    fully-random directions at 290k prims). Returns (perm, inv)."""
+    """Sort rays by (Morton origin cell, direction octant) so cluster-
+    kernel ray tiles share spatial locality — bounce rays are incoherent
+    and would otherwise drag every tile through every cluster. Morton-
+    interleaved 8^3 cells keep key-adjacent rays (and hence the tiles
+    that share a front-to-back cluster order) spatially adjacent.
+    Returns (perm, inv)."""
     w_min = jnp.min(scene.obj_aabb_min, axis=0)
     w_max = jnp.max(scene.obj_aabb_max, axis=0)
     cell = jnp.clip(((ray_o - w_min) / (w_max - w_min + 1e-6)
-                     * 4.0).astype(jnp.int32), 0, 3)
+                     * 8.0).astype(jnp.int32), 0, 7)
     octant = ((ray_d[:, 0] > 0).astype(jnp.int32)
               + 2 * (ray_d[:, 1] > 0).astype(jnp.int32)
               + 4 * (ray_d[:, 2] > 0).astype(jnp.int32))
-    key = ((cell[:, 0] * 4 + cell[:, 1]) * 4 + cell[:, 2]) * 8 + octant
+    morton = jnp.zeros_like(octant)
+    for b in range(3):
+        for a in range(3):  # x high, y mid, z low within each bit triple
+            morton |= ((cell[:, a] >> b) & 1) << (3 * b + (2 - a))
+    key = morton * 8 + octant
     perm = jnp.argsort(key)
     return perm, jnp.argsort(perm)
 

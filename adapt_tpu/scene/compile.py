@@ -151,6 +151,13 @@ class SceneData:
     cl_aabb: jnp.ndarray        # (C,8) f32: lo(3) hi(3) pad(2)
     cl_rows: jnp.ndarray        # (C,24,CM) f32 rows: n|c(3) d|r(1) U(3) cu(1)
                                 #   V(3) cv(1) sph(1) gid(1) ng(3) obj(1)
+    cl_aabb_t: jnp.ndarray      # (8,Cp) f32 transposed: rows 0:3 lo,
+                                #   3:6 hi; Cp = C padded to 128 (pad
+                                #   clusters lo=+big so slabs never hit)
+    cl_chunk: jnp.ndarray       # (C*8,K) f32 per-128-prim-chunk AABBs,
+                                #   fields on sublanes, chunks on lanes:
+                                #   [c*8+f, q]; f 0:3 lo, 3:6 hi
+                                #   (K = CM/128; empty chunks lo>hi)
     # full-length per-prim test data (triangle plane/dual-basis; zeros for
     # sphere prims which use pre0/pre1 instead)
     prim_obj: jnp.ndarray        # (P,) i32 owning object
@@ -265,16 +272,20 @@ def _texture_table(objects, recs, atlas) -> TextureTable:
                         present=bool((mode > -255).any()))
 
 
-def _cluster_cut(node_pack, rows18):
+def _cluster_cut(node_pack, rows18, prim_aabb):
     """Cut the skip-offset SAH tree into disjoint subtree clusters.
 
     Each cluster is a whole subtree with <= CM prims; because the builder
     stores prims leaf-contiguous in DFS order, every subtree covers a
     contiguous prim range, so a cluster is just (aabb, row slice). Rows are
     padded to the fixed CM block size (pad rows carry gid = -1) so the
-    Pallas intersector can stream one cluster with one DMA.
+    Pallas intersector can stream one cluster with one DMA. Each cluster
+    also gets per-128-prim-chunk AABBs (chunks are contiguous DFS runs, so
+    they are tight sub-subtree boxes) for the kernel's second culling
+    level; prim_aabb is (P,6) lo|hi per prim in the same DFS order.
 
-    Returns (cl_aabb (C,8) f32, cl_rows (C,24,CM) f32)."""
+    Returns (cl_aabb (C,8), cl_aabb_t (8,Cp), cl_rows (C,24,CM),
+    cl_chunk (C*8,K))."""
     M = node_pack.shape[0]
     P = rows18.shape[0]
     base = node_pack[:, 6].astype(np.int64)
@@ -301,15 +312,28 @@ def _cluster_cut(node_pack, rows18):
         else:
             i += 1
     C = len(clusters)
+    K = cm // 128
+    Cp = -(-C // 128) * 128
     aabb = np.zeros((C, 8), np.float32)
+    aabb_t = np.zeros((8, Cp), np.float32)
+    aabb_t[0:3, :] = np.float32(3e38)          # pad clusters never hit
+    aabb_t[3:6, :] = np.float32(-3e38)
     # (C, 24, CM): fields on sublanes, prims on lanes (128-aligned DMA
     # slices; see ops/cluster_pallas.py layout note)
     rows = np.zeros((C, 24, cm), np.float32)
     rows[:, 13, :] = -1.0                      # gid row: mark padding
+    chunk = np.zeros((C, 8, K), np.float32)
+    chunk[:, 0:3, :] = np.float32(3e38)        # empty chunks never hit
+    chunk[:, 3:6, :] = np.float32(-3e38)
     for k, (s, n, box) in enumerate(clusters):
         aabb[k, :6] = box
+        aabb_t[0:6, k] = box
         rows[k, :18, :n] = rows18[s:s + n].T
-    return aabb, rows
+        for q in range(-(-n // 128)):
+            sl = prim_aabb[s + q * 128:s + min(n, (q + 1) * 128)]
+            chunk[k, 0:3, q] = sl[:, 0:3].min(0)
+            chunk[k, 3:6, q] = sl[:, 3:6].max(0)
+    return aabb, aabb_t, rows, chunk.reshape(C * 8, K)
 
 
 def compile_scene(emitters, array_info, objects, configs, scene_dir="."):
@@ -407,16 +431,23 @@ def compile_scene(emitters, array_info, objects, configs, scene_dir="."):
         rows18 = np.concatenate(
             [prim_pack, n_g.astype(np.float32),
              prim_obj[:, None].astype(np.float32)], axis=1)
-        cl_aabb, cl_rows = _cluster_cut(node_pack, rows18[prim_order])
+        prim_ab = np.concatenate([prim_lo, prim_hi],
+                                 axis=1).astype(np.float32)[prim_order]
+        cl_aabb, cl_aabb_t, cl_rows, cl_chunk = _cluster_cut(
+            node_pack, rows18[prim_order], prim_ab)
         bvh = dict(bvh_node_pack=jnp.asarray(node_pack),
                    bvh_prim_pack=jnp.asarray(prim_pack[prim_order]),
                    cl_aabb=jnp.asarray(cl_aabb),
-                   cl_rows=jnp.asarray(cl_rows))
+                   cl_aabb_t=jnp.asarray(cl_aabb_t),
+                   cl_rows=jnp.asarray(cl_rows),
+                   cl_chunk=jnp.asarray(cl_chunk))
     else:
         bvh = dict(bvh_node_pack=jnp.zeros((1, 9), jnp.float32),
                    bvh_prim_pack=jnp.zeros((1, 14), jnp.float32),
                    cl_aabb=jnp.zeros((1, 8), jnp.float32),
-                   cl_rows=jnp.zeros((1, 24, 128), jnp.float32))
+                   cl_aabb_t=jnp.zeros((8, 128), jnp.float32),
+                   cl_rows=jnp.zeros((1, 24, 128), jnp.float32),
+                   cl_chunk=jnp.zeros((8, 1), jnp.float32))
 
     # --- camera ---
     cam_orient = configs["transform"][0].astype(np.float32)
