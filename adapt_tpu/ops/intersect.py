@@ -128,19 +128,26 @@ def _sphere_hit(ray_o, ray_d, center, radius):
     return jnp.where(inside_disc, ray_t, -1.0)
 
 
-def ray_intersect(scene, cfg, ray_o, ray_d, max_t=None):
+def ray_intersect(scene, cfg, ray_o, ray_d, max_t=None, alive=None):
     """Closest-hit intersection for a ray batch; returns Interaction.
 
     max_t: optional (N,) clip distance (reference min_depth semantics:
-    hits are only accepted strictly before max_t - eps). Dispatch: Pallas
-    cluster intersector for big scenes on TPU, Pallas brute kernel for
-    small scenes on TPU, jnp cursor BVH / chunk scan otherwise."""
+    hits are only accepted strictly before max_t - eps). alive: optional
+    (N,) bool — dead lanes are forced to miss (far0 = -big, so even
+    inside-a-box slab tests prune them) and sorted to the tail of the
+    wavefront, letting the cluster kernel's tile masks skip them entirely;
+    renderers pass their terminated-ray mask so late bounces only pay for
+    surviving rays. Dispatch: Pallas cluster intersector for big scenes on
+    TPU, Pallas brute kernel for small scenes on TPU, jnp cursor BVH /
+    chunk scan otherwise."""
     if cfg.use_cluster:
         from .cluster_pallas import cluster_closest_hit
         N = ray_o.shape[0]
         far0 = jnp.full((N,), FAR, jnp.float32) if max_t is None \
             else jnp.where(max_t > 0.0, max_t - RAY_EPS, FAR)
-        perm, inv = _coherence_sort(scene, ray_o, ray_d)
+        if alive is not None:
+            far0 = jnp.where(alive, far0, -3e38)
+        perm, inv = _coherence_sort(scene, ray_o, ray_d, alive)
         t, gid, u, v, ng, obj = cluster_closest_hit(
             scene, ray_o[perm], ray_d[perm], far0[perm])
         t, gid, u, v, ng, obj = (t[inv], gid[inv], u[inv], v[inv],
@@ -167,6 +174,10 @@ def ray_intersect(scene, cfg, ray_o, ray_d, max_t=None):
     best_prim = jnp.full((N,), -1, jnp.int32)
     best_u = jnp.zeros((N,), jnp.float32)
     best_v = jnp.zeros((N,), jnp.float32)
+
+    if alive is not None:
+        far0 = jnp.where(alive, far0, -3e38)
+        best_t = far0
 
     T = scene.tri_n.shape[0]
     pre_ng = pre_obj = None
@@ -290,7 +301,7 @@ def _assemble_interaction(scene, cfg, ray_o, ray_d, best_t, best_prim,
     )
 
 
-def _coherence_sort(scene, ray_o, ray_d):
+def _coherence_sort(scene, ray_o, ray_d, alive=None):
     """Sort rays by (Morton origin cell, direction octant) so cluster-
     kernel ray tiles share spatial locality — bounce rays are incoherent
     and would otherwise drag every tile through every cluster. Morton-
@@ -309,6 +320,8 @@ def _coherence_sort(scene, ray_o, ray_d):
         for a in range(3):  # x high, y mid, z low within each bit triple
             morton |= ((cell[:, a] >> b) & 1) << (3 * b + (2 - a))
     key = morton * 8 + octant
+    if alive is not None:
+        key = jnp.where(alive, key, 1 << 20)    # dead rays pack last
     perm = jnp.argsort(key)
     return perm, jnp.argsort(perm)
 
@@ -323,14 +336,18 @@ def _prim_to_obj(scene, prim, is_sphere_hit):
     return tgather(scene.prim_obj, prim)
 
 
-def does_intersect(scene, cfg, ray_o, ray_d, max_t=None):
-    """Boolean occlusion test (shadow rays); any hit strictly before max_t."""
+def does_intersect(scene, cfg, ray_o, ray_d, max_t=None, alive=None):
+    """Boolean occlusion test (shadow rays); any hit strictly before max_t.
+
+    alive: see ray_intersect — dead lanes return un-occluded."""
     if cfg.use_cluster:
         from .cluster_pallas import cluster_any_hit
         N = ray_o.shape[0]
         far0 = jnp.full((N,), FAR, jnp.float32) if max_t is None \
             else jnp.where(max_t > 0.0, max_t - RAY_EPS, FAR)
-        perm, inv = _coherence_sort(scene, ray_o, ray_d)
+        if alive is not None:
+            far0 = jnp.where(alive, far0, -3e38)
+        perm, inv = _coherence_sort(scene, ray_o, ray_d, alive)
         return cluster_any_hit(scene, ray_o[perm], ray_d[perm],
                                far0[perm])[inv]
     if cfg.use_bvh and not cfg.use_pallas:
@@ -341,6 +358,8 @@ def does_intersect(scene, cfg, ray_o, ray_d, max_t=None):
     N = ray_o.shape[0]
     far = jnp.full((N,), FAR, jnp.float32) if max_t is None \
         else jnp.where(max_t > 0.0, max_t - RAY_EPS, FAR)
+    if alive is not None:
+        far = jnp.where(alive, far, -3e38)
     occluded = jnp.zeros((N,), bool)
 
     T = scene.tri_n.shape[0]

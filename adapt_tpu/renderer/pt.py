@@ -154,7 +154,7 @@ def trace_pt(scene, cfg, key, ray_o, ray_d):
             emitter_d = norm(to_emitter)
             light_dir = to_emitter / jnp.maximum(emitter_d[..., None], 1e-12)
             occluded = does_intersect(scene, cfg, hit_point, light_dir,
-                                      emitter_d)
+                                      emitter_d, alive=active)
             direct_spec = bxdf_ops.surface_eval(cfg, mat, it, ray_d,
                                                 light_dir, world_ior)
             if cfg.use_mis:
@@ -189,7 +189,8 @@ def trace_pt(scene, cfg, key, ray_o, ray_d):
             / jnp.maximum(ray_pdf, 1e-9)[..., None]
 
         # --- next hit + emission MIS weight (vanilla_renderer.py:109-117) ---
-        new_it = ray_intersect(scene, cfg, hit_point, new_dir)
+        # dead lanes skip the closest-hit sweep entirely (alive culling)
+        new_it = ray_intersect(scene, cfg, hit_point, new_dir, alive=active)
         new_mat = bxdf_ops.gather_mat(scene, new_it.obj_id)
         new_hit_light = _hit_light(new_mat, new_it)
         if cfg.use_mis:

@@ -82,20 +82,23 @@ def world_bound_time(scene, ray_o, ray_d):
     return jnp.min(jnp.maximum(t0, t1), axis=-1)
 
 
-def track_ray(scene, cfg, start_p, ray_d, depth, key=None, thp=None):
+def track_ray(scene, cfg, start_p, ray_d, depth, key=None, thp=None,
+              active=None):
     """Transmittance + ior-weighted propagation time along a shadow path
     crossing up to TRACK_STEPS medium interfaces (reference vpt.py:101-137).
 
     Returns (tr (N,3), acc_depth (N,)). tr = 0 where a non-null surface
     blocks the segment. key/thp are required when the scene has a grid
-    volume (ratio-tracking transmittance, vpt.py:110-112)."""
+    volume (ratio-tracking transmittance, vpt.py:110-112). active: dead
+    lanes skip all intersection work (their tr/time are unused)."""
     N = start_p.shape[0]
     w_ior = scene.world_medium.ior[0]
     if not (cfg.world_scattering or cfg.has_null_bsdf or cfg.volume_kind
             or cfg.medium_kinds):
         # static fast path: no media anywhere -> binary occlusion
         from ..ops.intersect import does_intersect
-        occ = does_intersect(scene, cfg, start_p, ray_d, depth)
+        occ = does_intersect(scene, cfg, start_p, ray_d, depth,
+                             alive=active)
         return (jnp.where(occ[..., None], 0.0, 1.0)
                 * jnp.ones((N, 3), jnp.float32)), depth * w_ior
     vol_tr = 1.0
@@ -114,7 +117,8 @@ def track_ray(scene, cfg, start_p, ray_d, depth, key=None, thp=None):
 
     def body(st):
         tr, acc, p, remaining, alive, step = st
-        it = ray_intersect(scene, cfg, p, ray_d, max_t=remaining)
+        it = ray_intersect(scene, cfg, p, ray_d, max_t=remaining,
+                           alive=alive)
         miss = ~it.is_hit
         seg = jnp.where(miss, remaining, it.t)
         in_free = jnp.where(miss, True, dot(it.n_g, ray_d) < 0.0)
@@ -133,8 +137,9 @@ def track_ray(scene, cfg, start_p, ray_d, depth, key=None, thp=None):
             alive &= ~miss
         return tr, acc, p, remaining, alive, step + 1
 
+    alive0 = jnp.ones((N,), bool) if active is None else active
     init = (jnp.ones((N, 3), jnp.float32), jnp.zeros((N,), jnp.float32),
-            start_p, depth, jnp.ones((N,), bool), jnp.int32(0))
+            start_p, depth, alive0, jnp.int32(0))
     tr, acc, *_ = jax.lax.while_loop(cond, body, init)
     return tr * vol_tr, acc
 
@@ -222,7 +227,7 @@ def trace_vpt(scene, cfg, key, ray_o, ray_d):
             active &= max_val >= 1e-5
 
         # --- intersect + world-medium fallback (vpt.py:170-181) ---
-        it = ray_intersect(scene, cfg, ray_o, ray_d)
+        it = ray_intersect(scene, cfg, ray_o, ray_d, alive=active)
         miss = ~it.is_hit
         if media_everywhere:
             wb = world_bound_time(scene, ray_o, ray_d)
@@ -290,7 +295,7 @@ def trace_vpt(scene, cfg, key, ray_o, ray_d):
             l_dir = to_e / jnp.maximum(e_d[..., None], 1e-12)
             key, k_tr = jax.random.split(key)
             tr, _t = track_ray(scene, cfg, hit_point, l_dir, e_d,
-                               key=k_tr, thp=thp)
+                               key=k_tr, thp=thp, active=active)
             shadow_int = shadow_int * tr
             # eval: phase value for medium events, BxDF for surface
             ph_val = medium_ops.phase_eval(rows["kind"], rows["ph_par"],
@@ -349,7 +354,8 @@ def trace_vpt(scene, cfg, key, ray_o, ray_d):
 
         # --- emission MIS weight from the NEXT hit (vanilla:109-117) ---
         if cfg.use_mis:
-            it_n = ray_intersect(scene, cfg, hit_point, out_dir)
+            it_n = ray_intersect(scene, cfg, hit_point, out_dir,
+                                 alive=active)
             mat_n = bxdf_ops.gather_mat(scene, it_n.obj_id)
             nl = jnp.where(it_n.obj_id >= 0, mat_n.emit, -1)
             n_delta = mat_n.is_delta
