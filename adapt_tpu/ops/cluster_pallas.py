@@ -187,52 +187,51 @@ def _closest_kernel(order_ref, ro_ref, rd_ref, far_ref, abt_ref, cab_ref,
                         better = (bt < t_o[:]) & ch_hit
                         one_hot = col == bi
 
-                        def sel(row):         # (1,TC) field row -> (B,1)
-                            return jnp.sum(jnp.where(one_hot, row, 0.0),
-                                           axis=1, keepdims=True)
-
-                        def selv(vals):       # (B,TC) values -> (B,1)
-                            return jnp.sum(jnp.where(one_hot, vals, 0.0),
-                                           axis=1, keepdims=True)
-
-                        # sphere lanes get their final normal here;
-                        # spherical uv needs atan2/arccos (no Pallas TPU
-                        # lowering), so the wrapper derives it from n_g
-                        is_sph = sel(r[12:13, :]) > 0.5
-                        hx = ro[:, 0:1] + bt * rd[:, 0:1] - sel(r[0:1, :])
-                        hy = ro[:, 1:2] + bt * rd[:, 1:2] - sel(r[1:2, :])
-                        hz = ro[:, 2:3] + bt * rd[:, 2:3] - sel(r[2:3, :])
-                        inv_n = jax.lax.rsqrt(
-                            jnp.maximum(hx * hx + hy * hy + hz * hz,
-                                        1e-24))
-                        nx, ny, nz = hx * inv_n, hy * inv_n, hz * inv_n
-
-                        t_o[:] = jnp.where(better, bt, t_o[:])
-                        g_o[:] = jnp.where(
-                            better, sel(r[13:14, :]).astype(jnp.int32),
-                            g_o[:])
-                        u_o[:] = jnp.where(better, selv(u), u_o[:])
-                        v_o[:] = jnp.where(better, selv(v), v_o[:])
-                        ng_o[:, 0:1] = jnp.where(
-                            better,
-                            jnp.where(is_sph, nx, sel(r[14:15, :])),
-                            ng_o[:, 0:1])
-                        ng_o[:, 1:2] = jnp.where(
-                            better,
-                            jnp.where(is_sph, ny, sel(r[15:16, :])),
-                            ng_o[:, 1:2])
-                        ng_o[:, 2:3] = jnp.where(
-                            better,
-                            jnp.where(is_sph, nz, sel(r[16:17, :])),
-                            ng_o[:, 2:3])
-                        ob_o[:] = jnp.where(
-                            better, sel(r[17:18, :]).astype(jnp.int32),
-                            ob_o[:])
-                        sph_o[:] = jnp.where(
-                            better, is_sph.astype(jnp.int32), sph_o[:])
+                        @pl.when(jnp.any(better))
+                        def _():
+                            # ~30% of the brute chunk cost is this winner
+                            # extraction; skip it when no lane improved
+                            _select_winner(r, ro, rd, bt, better, one_hot,
+                                           t_o, g_o, u_o, v_o, ng_o, ob_o,
+                                           sph_o, u, v)
         return 0
 
     jax.lax.fori_loop(0, C, sweep, 0)
+
+
+def _select_winner(r, ro, rd, bt, better, one_hot, t_o, g_o, u_o, v_o,
+                   ng_o, ob_o, sph_o, u, v):
+    def sel(row):                             # (1,TC) field row -> (B,1)
+        return jnp.sum(jnp.where(one_hot, row, 0.0), axis=1,
+                       keepdims=True)
+
+    def selv(vals):                           # (B,TC) values -> (B,1)
+        return jnp.sum(jnp.where(one_hot, vals, 0.0), axis=1,
+                       keepdims=True)
+
+    # sphere lanes get their final normal here; spherical uv needs
+    # atan2/arccos (no Pallas TPU lowering), so the wrapper derives it
+    # from n_g on sphere-flagged lanes
+    is_sph = sel(r[12:13, :]) > 0.5
+    hx = ro[:, 0:1] + bt * rd[:, 0:1] - sel(r[0:1, :])
+    hy = ro[:, 1:2] + bt * rd[:, 1:2] - sel(r[1:2, :])
+    hz = ro[:, 2:3] + bt * rd[:, 2:3] - sel(r[2:3, :])
+    inv_n = jax.lax.rsqrt(jnp.maximum(hx * hx + hy * hy + hz * hz, 1e-24))
+    nx, ny, nz = hx * inv_n, hy * inv_n, hz * inv_n
+
+    t_o[:] = jnp.where(better, bt, t_o[:])
+    g_o[:] = jnp.where(better, sel(r[13:14, :]).astype(jnp.int32), g_o[:])
+    u_o[:] = jnp.where(better, selv(u), u_o[:])
+    v_o[:] = jnp.where(better, selv(v), v_o[:])
+    ng_o[:, 0:1] = jnp.where(
+        better, jnp.where(is_sph, nx, sel(r[14:15, :])), ng_o[:, 0:1])
+    ng_o[:, 1:2] = jnp.where(
+        better, jnp.where(is_sph, ny, sel(r[15:16, :])), ng_o[:, 1:2])
+    ng_o[:, 2:3] = jnp.where(
+        better, jnp.where(is_sph, nz, sel(r[16:17, :])), ng_o[:, 2:3])
+    ob_o[:] = jnp.where(better, sel(r[17:18, :]).astype(jnp.int32),
+                        ob_o[:])
+    sph_o[:] = jnp.where(better, is_sph.astype(jnp.int32), sph_o[:])
 
 
 def _any_kernel(order_ref, ro_ref, rd_ref, far_ref, abt_ref, cab_ref,
@@ -300,7 +299,7 @@ def _tile_cluster_order(cl_aabb, ro, rd):
     missed boxes pushed behind all hit boxes ordered by centroid distance.
     Order only affects how fast the kernel's per-lane `t_near < t_best`
     prune starts firing — correctness never depends on it. Coherence-
-    sorted tiles (intersect._coherence_sort) share origin cell and
+    sorted tiles (intersect._coherence_key) share origin cell and
     direction octant, so the representative ray is meaningful. Grouping
     keeps the prefetched SMEM table small (a per-tile table at 512 tiles x
     415 clusters overflowed the 1M SMEM budget)."""

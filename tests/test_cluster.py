@@ -96,3 +96,29 @@ def test_cluster_any_hit_matches_cursor(knot):
                              dataclasses.replace(cfg, use_cluster=True),
                              ro, rd, max_t)
         assert (np.asarray(got) == np.asarray(ref)).all()
+
+
+def test_cluster_alive_culling(knot):
+    """alive=False lanes are forced misses; alive lanes match the cursor
+    walk exactly (the culled wavefront is re-sorted, so this also covers
+    the multi-operand lax.sort reorder path)."""
+    scene, cfg = knot
+    from adapt_tpu.ops.intersect import ray_intersect, does_intersect
+    ro, rd = _rays(scene, cfg, jax.random.PRNGKey(11))
+    N = ro.shape[0]
+    alive = jax.random.uniform(jax.random.PRNGKey(3), (N,)) < 0.6
+    ccfg = dataclasses.replace(cfg, use_cluster=True)
+    ref = ray_intersect(scene, dataclasses.replace(cfg, use_cluster=False),
+                        ro, rd)
+    got = ray_intersect(scene, ccfg, ro, rd, alive=alive)
+    a = np.asarray(alive)
+    assert (np.asarray(got.obj_id)[~a] == -1).all()
+    assert (np.asarray(got.prim_id)[a] == np.asarray(ref.prim_id)[a]).all()
+    np.testing.assert_allclose(np.asarray(got.t)[a], np.asarray(ref.t)[a],
+                               rtol=2e-6)
+    occ_ref = does_intersect(scene,
+                             dataclasses.replace(cfg, use_cluster=False),
+                             ro, rd)
+    occ = does_intersect(scene, ccfg, ro, rd, alive=alive)
+    assert not np.asarray(occ)[~a].any()
+    assert (np.asarray(occ)[a] == np.asarray(occ_ref)[a]).all()
