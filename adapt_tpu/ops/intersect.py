@@ -147,11 +147,12 @@ def ray_intersect(scene, cfg, ray_o, ray_d, max_t=None, alive=None):
             else jnp.where(max_t > 0.0, max_t - RAY_EPS, FAR)
         if alive is not None:
             far0 = jnp.where(alive, far0, -3e38)
-        perm, inv = _coherence_sort(scene, ray_o, ray_d, alive)
-        t, gid, u, v, ng, obj = cluster_closest_hit(
-            scene, ray_o[perm], ray_d[perm], far0[perm])
-        t, gid, u, v, ng, obj = (t[inv], gid[inv], u[inv], v[inv],
-                                 ng[inv], obj[inv])
+        key = _coherence_key(scene, ray_o, ray_d, alive)
+        ro_s, rd_s, far_s, pos = _sort_by(
+            key, [ray_o, ray_d, far0, jnp.arange(N, dtype=jnp.int32)])
+        t, gid, u, v, ng, obj = cluster_closest_hit(scene, ro_s, rd_s,
+                                                    far_s)
+        t, gid, u, v, ng, obj = _sort_by(pos, [t, gid, u, v, ng, obj])
         # the kernel already finalized sphere normals/uv and obj ids, so
         # the sphere-override block is skipped (is_sphere_hit = False)
         return _assemble_interaction(scene, cfg, ray_o, ray_d, t, gid, u,
@@ -301,13 +302,14 @@ def _assemble_interaction(scene, cfg, ray_o, ray_d, best_t, best_prim,
     )
 
 
-def _coherence_sort(scene, ray_o, ray_d, alive=None):
-    """Sort rays by (Morton origin cell, direction octant) so cluster-
-    kernel ray tiles share spatial locality — bounce rays are incoherent
-    and would otherwise drag every tile through every cluster. Morton-
-    interleaved 8^3 cells keep key-adjacent rays (and hence the tiles
-    that share a front-to-back cluster order) spatially adjacent.
-    Returns (perm, inv)."""
+def _coherence_key(scene, ray_o, ray_d, alive=None):
+    """Ray-coherence sort key: (Morton origin cell, direction octant).
+
+    Cluster-kernel ray tiles must share spatial locality — bounce rays
+    are incoherent and would otherwise drag every tile through every
+    cluster. Morton-interleaved 8^3 cells keep key-adjacent rays (and
+    hence the tiles that share a front-to-back cluster order) spatially
+    adjacent; dead rays pack last."""
     w_min = jnp.min(scene.obj_aabb_min, axis=0)
     w_max = jnp.max(scene.obj_aabb_max, axis=0)
     cell = jnp.clip(((ray_o - w_min) / (w_max - w_min + 1e-6)
@@ -322,8 +324,36 @@ def _coherence_sort(scene, ray_o, ray_d, alive=None):
     key = morton * 8 + octant
     if alive is not None:
         key = jnp.where(alive, key, 1 << 20)    # dead rays pack last
-    perm = jnp.argsort(key)
-    return perm, jnp.argsort(perm)
+    return key
+
+
+def _sort_by(key, arrays):
+    """Reorder arrays by ascending key via ONE multi-operand lax.sort.
+
+    TPU note: applying a permutation with x[perm] lowers to per-lane HBM
+    gathers (~100x off bandwidth; they measured 575 ms/spp on the 290k
+    scene). XLA's sort moves the same payloads with dense, structured
+    accesses. (N,k) arrays ride as k scalar operands."""
+    ops = [key]
+    widths = []
+    for a in arrays:
+        if a.ndim == 1:
+            ops.append(a)
+            widths.append(0)
+        else:
+            ops.extend(a[:, i] for i in range(a.shape[1]))
+            widths.append(a.shape[1])
+    out = jax.lax.sort(tuple(ops), dimension=0, num_keys=1)[1:]
+    res = []
+    i = 0
+    for w in widths:
+        if w == 0:
+            res.append(out[i])
+            i += 1
+        else:
+            res.append(jnp.stack(out[i:i + w], axis=1))
+            i += w
+    return res
 
 
 def _prim_to_obj(scene, prim, is_sphere_hit):
@@ -347,9 +377,11 @@ def does_intersect(scene, cfg, ray_o, ray_d, max_t=None, alive=None):
             else jnp.where(max_t > 0.0, max_t - RAY_EPS, FAR)
         if alive is not None:
             far0 = jnp.where(alive, far0, -3e38)
-        perm, inv = _coherence_sort(scene, ray_o, ray_d, alive)
-        return cluster_any_hit(scene, ray_o[perm], ray_d[perm],
-                               far0[perm])[inv]
+        key = _coherence_key(scene, ray_o, ray_d, alive)
+        ro_s, rd_s, far_s, pos = _sort_by(
+            key, [ray_o, ray_d, far0, jnp.arange(N, dtype=jnp.int32)])
+        occ = cluster_any_hit(scene, ro_s, rd_s, far_s)
+        return _sort_by(pos, [occ])[0]
     if cfg.use_bvh and not cfg.use_pallas:
         from .bvh import traverse
         _t, prim, _u, _v = traverse(scene, ray_o, ray_d, max_t,
