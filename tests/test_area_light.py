@@ -1,0 +1,159 @@
+"""Area-light NEE against an independent numpy quadrature oracle.
+
+Scene: a white lambertian floor quad under a downward-facing emitter quad
+whose own surface is black (k_d = 0), empty world. With a black-bodied
+emitter there is no multi-bounce transport at all — floor->light ends at
+a non-reflective surface and floor->floor is impossible (coplanar) — so
+the converged render of every floor pixel equals the direct-lighting
+integral
+
+    L(p) = (rho/pi) * Int_quad I * cos(theta_r) * cos(theta_l) / d^2 dA
+
+exactly, independent of max_bounce, MIS, or shadow-ray count. The oracle
+evaluates that integral by dense midpoint quadrature (smooth integrand,
+no occluders), sharing nothing with the device estimator except the
+camera ray generator. Pixels that see the emitter front face must equal
+its radiance (eval_le). Guards the inv_area / d^2 / cos-factor chain of
+emitter_ops._area_sample_hit (reference abtract_source.py:98-132) which
+the point-light oracle in test_pt.py cannot reach.
+"""
+import dataclasses
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+FLOOR_OBJ = """\
+v -2 0 -2
+v 2 0 -2
+v 2 0 2
+v -2 0 2
+f 1 3 2
+f 1 4 3
+"""
+
+LIGHT_OBJ = """\
+v -0.5 2 -0.5
+v 0.5 2 -0.5
+v 0.5 2 0.5
+v -0.5 2 0.5
+f 1 2 3
+f 1 3 4
+"""
+
+SCENE_XML = """\
+<scene version="1.1">
+  <sensor type="perspective">
+    <float name="fov" value="60"/>
+    <integer name="sample_count" value="8"/>
+    <integer name="max_bounce" value="3"/>
+    <integer name="num_shadow_ray" value="4"/>
+    <boolean name="use_rr" value="false"/>
+    <boolean name="anti_alias" value="false"/>
+    <boolean name="stratified_sampling" value="false"/>
+    <boolean name="use_mis" value="true"/>
+    <transform name="toWorld">
+      <lookat target="0, 1.0, 0" origin="0, 1.3, -3.4" up="0, 1, 0"/>
+    </transform>
+    <film type="film">
+      <integer name="width" value="16"/>
+      <integer name="height" value="16"/>
+    </film>
+  </sensor>
+  <brdf type="lambertian" id="white">
+    <rgb name="k_d" value="#FFFFFF"/>
+  </brdf>
+  <brdf type="lambertian" id="black">
+    <rgb name="k_d" value="#000000"/>
+  </brdf>
+  <emitter type="area" id="area">
+    <rgb name="emission" value="10.0, 10.0, 10.0"/>
+  </emitter>
+  <shape type="obj">
+    <string name="filename" value="floor.obj"/>
+    <ref type="material" id="white"/>
+  </shape>
+  <shape type="obj">
+    <string name="filename" value="light.obj"/>
+    <ref type="material" id="black"/>
+    <ref type="emitter" id="area"/>
+  </shape>
+  <world name="w">
+    <rgb name="skybox" value="0.0"/>
+    <rgb name="ambient" value="0.0"/>
+  </world>
+</scene>
+"""
+
+INTENSITY = 10.0
+
+
+@pytest.fixture(scope="module")
+def quad_scene(tmp_path_factory):
+    from adapt_tpu.scene.compile import load_scene
+    d = tmp_path_factory.mktemp("arealight")
+    (d / "floor.obj").write_text(FLOOR_OBJ)
+    (d / "light.obj").write_text(LIGHT_OBJ)
+    (d / "scene.xml").write_text(SCENE_XML)
+    scene, cfg, _ = load_scene(str(d), "scene.xml")
+    return scene, cfg
+
+
+def _oracle_direct(p, n_quad=160):
+    """Midpoint quadrature of the quad-to-point form factor integral.
+
+    p: (P, 3) floor points. Emitter: [-0.5,0.5]^2 at y=2, normal -y,
+    radiance INTENSITY, floor albedo 1."""
+    g = (np.arange(n_quad) + 0.5) / n_quad - 0.5
+    qx, qz = np.meshgrid(g, g, indexing="ij")
+    q = np.stack([qx.ravel(), np.full(qx.size, 2.0), qz.ravel()], -1)
+    dA = 1.0 / (n_quad * n_quad)
+    diff = q[None] - p[:, None]                      # (P, S, 3)
+    d2 = np.sum(diff * diff, -1)
+    w = diff / np.sqrt(d2)[..., None]
+    cos_r = w[..., 1]                                # floor normal +y
+    cos_l = w[..., 1]                                # light normal -y: (-w).(0,-1,0)
+    f = np.clip(cos_r, 0, None) * np.clip(cos_l, 0, None) / d2
+    return INTENSITY / np.pi * np.sum(f, -1) * dA
+
+
+def test_area_nee_matches_quadrature(quad_scene):
+    from adapt_tpu.renderer.base import camera_rays
+    from adapt_tpu.renderer.pt import Renderer
+    scene, cfg = quad_scene
+    # light faces the floor, floor faces up
+    ng = np.asarray(scene.prim_ng)
+    assert np.allclose(ng[:2, 1], 1.0) and np.allclose(ng[2:4, 1], -1.0)
+
+    r = Renderer(scene, cfg)
+    for _ in range(64):
+        r.render_batch(8)
+    img = np.asarray(r.pixels).reshape(-1, 3)        # (N,3) linear
+
+    ro, rd = map(np.asarray, camera_rays(scene, cfg, jax.random.PRNGKey(0),
+                                         jnp.int32(0)))
+    # independent floor intersection: y = 0 plane within the quad
+    t = -ro[:, 1] / rd[:, 1]
+    hitp = ro + t[:, None] * rd
+    on_floor = (rd[:, 1] < 0) & (np.abs(hitp[:, 0]) < 1.9) \
+        & (np.abs(hitp[:, 2]) < 1.9)
+    # emitter-facing rays: y = 2 plane within the small quad, from below
+    t_l = (2.0 - ro[:, 1]) / rd[:, 1]
+    hl = ro + t_l[:, None] * rd
+    sees_light = (rd[:, 1] > 0) & (np.abs(hl[:, 0]) < 0.48) \
+        & (np.abs(hl[:, 2]) < 0.48)
+
+    assert on_floor.sum() > 60 and sees_light.sum() > 3
+
+    expect = _oracle_direct(hitp[on_floor])
+    got = img[on_floor]
+    # grey scene: all channels identical
+    np.testing.assert_allclose(got[:, 0], got[:, 1], rtol=1e-5)
+    rel = np.abs(got.mean(-1) - expect) / expect
+    assert rel.mean() < 0.02, (rel.mean(), rel.max())
+    assert rel.max() < 0.08, rel.max()
+
+    # direct emitter view is its radiance exactly (eval_le)
+    np.testing.assert_allclose(img[sees_light], INTENSITY, rtol=1e-4)
