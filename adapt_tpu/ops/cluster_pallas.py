@@ -8,10 +8,12 @@ time into C disjoint subtree clusters of <= CM prims (scene/compile.py
 `_cluster_cut`), each a contiguous padded block.
 
 The kernel grid is (ray_tiles,): a ray tile stays VMEM-resident while an
-in-kernel fori_loop sweeps all clusters **front-to-back** (per-tile-group
+in-kernel while_loop sweeps all clusters **front-to-back** (per-tile-group
 order from `_tile_cluster_order`, delivered via scalar prefetch), so the
 per-lane `t_near < t_best` prune starts rejecting clusters after the first
-hits land.
+hits land. The sweep exits early once the cluster mask goes all-zero —
+no remaining box beats any lane's t_best (closest) / every lane is
+occluded or out of reach (any-hit).
 
 Per-sweep-step culling is two-phase, shaped for the VPU's (8,128) vregs:
  1. A (B, Cp) slab test of the WHOLE tile against ALL cluster boxes at
@@ -156,11 +158,16 @@ def _closest_kernel(order_ref, ro_ref, rd_ref, far_ref, abt_ref, cab_ref,
     rd = rd_ref[:]
     inv_d = 1.0 / jnp.where(jnp.abs(rd) < 1e-9, 1e-9, rd)
 
-    def sweep(j, _s):
+    def sweep(carry):
+        j, _ = carry
+
         @pl.when(j % REMASK == 0)
         def _():
             _refresh_mask(m_ref, abt_ref, ro, inv_d, t_o[:])
 
+        # all-zero mask => no remaining cluster box beats any lane's
+        # t_best => the sweep can stop (remaining ⊆ all clusters)
+        done = jnp.sum(m_ref[0:1, :]) == 0.0
         idx = order_ref[i // G_ORDER, j]
 
         @pl.when(_mask_at(m_ref, idx) > 0.0)
@@ -194,9 +201,10 @@ def _closest_kernel(order_ref, ro_ref, rd_ref, far_ref, abt_ref, cab_ref,
                             _select_winner(r, ro, rd, bt, better, one_hot,
                                            t_o, g_o, u_o, v_o, ng_o, ob_o,
                                            sph_o, u, v)
-        return 0
+        return j + 1, done
 
-    jax.lax.fori_loop(0, C, sweep, 0)
+    jax.lax.while_loop(lambda c: (c[0] < C) & jnp.logical_not(c[1]),
+                       sweep, (jnp.int32(0), jnp.bool_(False)))
 
 
 def _select_winner(r, ro, rd, bt, better, one_hot, t_o, g_o, u_o, v_o,
@@ -247,13 +255,17 @@ def _any_kernel(order_ref, ro_ref, rd_ref, far_ref, abt_ref, cab_ref,
     rd = rd_ref[:]
     inv_d = 1.0 / jnp.where(jnp.abs(rd) < 1e-9, 1e-9, rd)
 
-    def sweep(j, _s):
+    def sweep(carry):
+        j, _ = carry
+
         @pl.when(j % REMASK == 0)
         def _():
             # done lanes prune boxes (-inf beats inside-the-box t_near<0)
             far = jnp.where(occ_o[:], -jnp.inf, far_ref[:])
             _refresh_mask(m_ref, abt_ref, ro, inv_d, far)
 
+        # all lanes occluded (or nothing left in reach) => mask all-zero
+        done = jnp.sum(m_ref[0:1, :]) == 0.0
         idx = order_ref[i // G_ORDER, j]
 
         @pl.when(_mask_at(m_ref, idx) > 0.0)
@@ -276,9 +288,10 @@ def _any_kernel(order_ref, ro_ref, rd_ref, far_ref, abt_ref, cab_ref,
                         hit = jnp.any((t < far_ref[:]) & ch_hit, axis=1,
                                       keepdims=True)
                         occ_o[:] = occ_o[:] | hit
-        return 0
+        return j + 1, done
 
-    jax.lax.fori_loop(0, C, sweep, 0)
+    jax.lax.while_loop(lambda c: (c[0] < C) & jnp.logical_not(c[1]),
+                       sweep, (jnp.int32(0), jnp.bool_(False)))
 
 
 def _ray_blocks(ray_o, ray_d, far0):
