@@ -78,3 +78,34 @@ def test_bdpt_transient_bins(cbox):
     first_bin = np.nonzero(bins.sum(axis=(0, 2)))[0]
     assert first_bin.size > 0
     assert first_bin[0] * cfg_t.t_interval >= 8.0, first_bin[0]
+
+
+def test_bdpt_converges_to_pt_glass_scene():
+    """Cross-estimator agreement on a specular-heavy scene: BDPT == PT on
+    csphere/balls-multi-showcase.xml (det-refraction glass ball, mirror,
+    fresnel-blend, mod-phong, TWO area emitters). Guards refraction
+    transport (ior^2 radiance asymmetry, bsdf pdfs in MIS) that the cbox
+    tests never exercise; the same agreement was measured at 1-2% per
+    region on the real chip at 512^2 x 4096 spp (see PARITY.md)."""
+    from adapt_tpu.renderer.bdpt import render_batch_bdpt
+    from adapt_tpu.renderer.pt import render_batch_pt
+    scene, cfg, _ = load_scene(SCENE_DIR + "/csphere/",
+                               "balls-multi-showcase.xml")
+    cfg = dataclasses.replace(
+        cfg, w=24, h=24, focal=cfg.focal * 24 / 512, end_x=24, end_y=24,
+        max_bounce=4, use_rr=False, anti_alias=False,
+        stratified_sampling=False, **NOMEDIA)
+    spp = 256
+    b = np.asarray(render_batch_bdpt(scene, cfg, jax.random.PRNGKey(3),
+                                     jnp.int32(1), spp)) / spp
+    p = np.asarray(render_batch_pt(scene, cfg, jax.random.PRNGKey(9),
+                                   jnp.int32(1), spp)) / spp
+    # scene-wide energy (unclipped linear; emitter pixels included)
+    ratio = b.mean() / p.mean()
+    assert abs(ratio - 1.0) < 0.06, ratio
+    # per-pixel agreement on well-lit diffuse pixels (clip tails: t=1
+    # splats make single-pixel BDPT variance heavy)
+    lit = (p.mean(-1) > 0.05) & (p.mean(-1) < 1.0)
+    assert lit.sum() > 100
+    rel = np.abs(b.mean(-1)[lit] - p.mean(-1)[lit]) / p.mean(-1)[lit]
+    assert np.median(rel) < 0.15, np.median(rel)
