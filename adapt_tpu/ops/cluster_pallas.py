@@ -40,6 +40,20 @@ so DMA slices stay 128-aligned and rays ride their natural (N,3) layout
 Outputs carry gid, uv, n_g and obj id straight from the rows, so the big-
 scene path needs no per-lane table gathers downstream either.
 
+Measured dead ends (do not re-attempt without new evidence; knot290k
+bounce-closest baseline 515 ms):
+ * W-cluster windowed sweeps (one (B,128) chunk-slab + one any() per 16
+   clusters): 4.3 s with the per-cluster work statically unrolled in the
+   window (register spills), 2.1 s with an inner dynamic cluster loop —
+   the per-cluster/per-chunk (B,128) band-mask reductions cost more than
+   the per-step scalar overhead they save. Includes the order-space
+   pre-permuted chunk table variant (in-kernel W-slice concat is another
+   20x on top: Mosaic lowers dynamic-offset concats through memory).
+ * CM=4096 clusters: 1.9 s — loose cluster boxes defeat the
+   front-to-back t_near<t_best prune; CM=2048 similar direction.
+ * DMA is NOT a cost: stubbing make_async_copy out entirely changes
+   nothing (nobrute 500 ms == nodma 497 ms); don't build double-buffering.
+
 Reference behavior: tracer/path_tracer.py:338-422 (BVH dispatch contract).
 """
 from __future__ import annotations

@@ -291,9 +291,12 @@ def _cluster_cut(node_pack, rows18, prim_aabb):
     base = node_pack[:, 6].astype(np.int64)
     cnt = node_pack[:, 7].astype(np.int64)
     skip = node_pack[:, 8].astype(np.int64)
-    # CM=1024 measured best end-to-end on the 290k knot (2048 halves the
-    # grid-overhead floor but wastes prim tests on hit pairs)
-    cm = 1024 if P > 16384 else 256
+    # CM=1024 measured best end-to-end on the 290k knot: 2048 was killed
+    # by its looser cluster boxes defeating the front-to-back prune and
+    # 4096 measured 3.7x worse (bounce closest 1922 vs 515 ms); the
+    # ADAPT_CM env knob re-runs that experiment without a code edit
+    import os
+    cm = int(os.environ.get("ADAPT_CM", "1024")) if P > 16384 else 256
     # first leaf prim at-or-after each node (leaf bases increase in DFS)
     big = np.int64(1) << 60
     tmp = np.where(cnt > 0, base, big)
