@@ -53,6 +53,9 @@ bounce-closest baseline 515 ms):
    front-to-back t_near<t_best prune; CM=2048 similar direction.
  * DMA is NOT a cost: stubbing make_async_copy out entirely changes
    nothing (nobrute 500 ms == nodma 497 ms); don't build double-buffering.
+ * LANE_B=128: bounce closest improves 1.22x (smaller tiles waste fewer
+   brute lanes) but primaries and any-hits regress 20-45% (double the
+   sweeps) — full 12-bounce render 5.24 vs 4.42 s/spp. Keep 256.
 
 Reference behavior: tracer/path_tracer.py:338-422 (BVH dispatch contract).
 """
