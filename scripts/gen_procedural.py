@@ -122,6 +122,8 @@ def ensure_all():
     ensure_at("cornell/bunny_full2.obj", 400, 30, R=0.35, r=0.12,
               tube=0.06)
     ensure_texture("textures/crystal.jpg")
+    ensure_texture("textures/lava.jpeg")
+    ensure_texture("textures/mat.jpeg")
 
 
 if __name__ == "__main__":
