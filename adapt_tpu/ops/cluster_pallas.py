@@ -183,8 +183,12 @@ def _closest_kernel(order_ref, ro_ref, rd_ref, far_ref, abt_ref, cab_ref,
             _refresh_mask(m_ref, abt_ref, ro, inv_d, t_o[:])
 
         # all-zero mask => no remaining cluster box beats any lane's
-        # t_best => the sweep can stop (remaining ⊆ all clusters)
-        done = jnp.sum(m_ref[0:1, :]) == 0.0
+        # t_best => the sweep can stop (remaining ⊆ all clusters).
+        # The mask only changes on refresh steps, so reduce it only then
+        # (a cross-lane sum is ~us-scale) and carry the flag otherwise.
+        done = jax.lax.cond(j % REMASK == 0,
+                            lambda: jnp.sum(m_ref[0:1, :]) == 0.0,
+                            lambda: carry[1])
         idx = order_ref[i // G_ORDER, j]
 
         @pl.when(_mask_at(m_ref, idx) > 0.0)
@@ -281,8 +285,11 @@ def _any_kernel(order_ref, ro_ref, rd_ref, far_ref, abt_ref, cab_ref,
             far = jnp.where(occ_o[:], -jnp.inf, far_ref[:])
             _refresh_mask(m_ref, abt_ref, ro, inv_d, far)
 
-        # all lanes occluded (or nothing left in reach) => mask all-zero
-        done = jnp.sum(m_ref[0:1, :]) == 0.0
+        # all lanes occluded (or nothing left in reach) => mask all-zero;
+        # reduced only on refresh steps, carried through otherwise
+        done = jax.lax.cond(j % REMASK == 0,
+                            lambda: jnp.sum(m_ref[0:1, :]) == 0.0,
+                            lambda: carry[1])
         idx = order_ref[i // G_ORDER, j]
 
         @pl.when(_mask_at(m_ref, idx) > 0.0)
@@ -316,7 +323,11 @@ def _ray_blocks(ray_o, ray_d, far0):
     Np = -(-N // LANE_B) * LANE_B
     ro = jnp.pad(ray_o, ((0, Np - N), (0, 0)))
     rd = jnp.pad(ray_d, ((0, Np - N), (0, 0)), constant_values=1.0)
-    far = jnp.pad(far0.reshape(N, 1), ((0, Np - N), (0, 0)))
+    # padding lanes get the dead-ray far (-3e38): with far=0 an
+    # inside-a-box slab test (t_near<0<t_far) still passes and the last
+    # partial tile's mask never reaches all-zero (no early exit)
+    far = jnp.pad(far0.reshape(N, 1), ((0, Np - N), (0, 0)),
+                  constant_values=-3e38)
     return ro, rd, far, Np
 
 

@@ -297,6 +297,9 @@ def _cluster_cut(node_pack, rows18, prim_aabb):
     # ADAPT_CM env knob re-runs that experiment without a code edit
     import os
     cm = int(os.environ.get("ADAPT_CM", "1024")) if P > 16384 else 256
+    assert cm > 0 and cm % 128 == 0, \
+        f"ADAPT_CM must be a positive multiple of 128, got {cm}"
+
     # first leaf prim at-or-after each node (leaf bases increase in DFS)
     big = np.int64(1) << 60
     tmp = np.where(cnt > 0, base, big)

@@ -26,7 +26,10 @@ def psnr_vs_reference(img, ref_png="/root/reference/assets/"
                                "adapt-cornell-sphere.png"):
     """img: (H, W, 3) linear float (Renderer.image() output)."""
     import cv2
-    ref = cv2.cvtColor(cv2.imread(ref_png), cv2.COLOR_BGR2RGB)
+    raw = cv2.imread(ref_png)
+    if raw is None:
+        raise FileNotFoundError(f"reference render not found: {ref_png}")
+    ref = cv2.cvtColor(raw, cv2.COLOR_BGR2RGB)
     assert ref.shape[:2] == img.shape[:2], (ref.shape, img.shape)
     ours = np.clip(img, 0.0, 1.0) * 255.0
     mask = np.ones(ref.shape[:2], bool)
