@@ -86,22 +86,68 @@ def render_pass_multichip(scene, cfg, mesh: Mesh, trace_fn):
     return jax.jit(step)
 
 
+def render_pass_bdpt_multichip(scene, cfg, mesh: Mesh):
+    """Build a jitted multi-chip BDPT pass.
+
+    Pixel-sharded camera subpaths + per-shard light subpaths; the one
+    cross-pixel interaction — t==1 light-tracing splats onto arbitrary
+    film pixels (the reference's atomic +=, bdpt.py:159-162) — becomes a
+    full-film splat plane per shard followed by a `psum` over the 'px'
+    axis; each shard then keeps its own slice. 'spp' groups average with
+    `pmean` as in the unidirectional path."""
+    from ..renderer.bdpt import bdpt_pass_core
+
+    n_px = mesh.shape["px"]
+    if cfg.n_pixels % n_px:
+        raise ValueError(f"n_pixels={cfg.n_pixels} not divisible by "
+                         f"px-axis size {n_px}")
+    if cfg.transient:
+        raise NotImplementedError("transient BDPT is single-chip")
+    shard_n = cfg.n_pixels // n_px
+
+    def _shard_fn(scene, key, cnt):
+        spp_i = jax.lax.axis_index("spp")
+        px_i = jax.lax.axis_index("px")
+        k = jax.random.fold_in(key, spp_i)
+        k = jax.random.fold_in(k, px_i)
+        pix = px_i * shard_n + jnp.arange(shard_n, dtype=jnp.int32)
+        local, splat, _b, _c = bdpt_pass_core(scene, cfg, k, cnt,
+                                              pix_ids=pix)
+        splat = jax.lax.psum(splat, "px")
+        mine = jax.lax.dynamic_slice_in_dim(splat, px_i * shard_n, shard_n)
+        return jax.lax.pmean(local + mine, "spp")
+
+    import inspect
+    kw = {"check_vma": False} \
+        if "check_vma" in inspect.signature(shard_map).parameters \
+        else {"check_rep": False}
+    step = shard_map(_shard_fn, mesh=mesh,
+                     in_specs=(P(), P(), P()),
+                     out_specs=P("px"), **kw)
+    return jax.jit(step)
+
+
 class MultiChipRenderer:
     """Progressive renderer running one pass per step on every mesh device.
 
     Each host-level render() adds mesh.shape['spp'] samples per pixel."""
 
-    def __init__(self, scene, cfg, mesh: Mesh, trace_fn=None, seed: int = 0):
-        if trace_fn is None:
-            from ..renderer.pt import trace_pt
-            trace_fn = trace_pt
+    def __init__(self, scene, cfg, mesh: Mesh, trace_fn=None, seed: int = 0,
+                 bdpt: bool = False):
         self.scene = scene
         self.cfg = cfg
         self.mesh = mesh
         self.key = jax.random.PRNGKey(seed)
         self.color = jnp.zeros((cfg.n_pixels, 3), jnp.float32)
         self.cnt = 0
-        self._step = render_pass_multichip(scene, cfg, mesh, trace_fn)
+        if bdpt:
+            assert trace_fn is None, "bdpt builds its own pass"
+            self._step = render_pass_bdpt_multichip(scene, cfg, mesh)
+        else:
+            if trace_fn is None:
+                from ..renderer.pt import trace_pt
+                trace_fn = trace_pt
+            self._step = render_pass_multichip(scene, cfg, mesh, trace_fn)
 
     def render(self):
         self.cnt += self.mesh.shape["spp"]

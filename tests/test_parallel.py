@@ -67,3 +67,35 @@ def test_multichip_vpt_and_spp_axis():
     out = np.asarray(r.render()).reshape(-1, 3)
     assert np.isfinite(out).all() and out.max() > 0.01
     assert r.cnt == 4                        # 2 renders x spp axis of 2
+
+
+def test_multichip_bdpt_splat_psum():
+    """BDPT over the mesh: pixel-sharded subpaths with the t=1 splat plane
+    psum'd across the px axis must equal the same per-shard passes summed
+    by hand on one device (exact; validates the cross-shard splat
+    collective)."""
+    from adapt_tpu.renderer.bdpt import bdpt_pass_core
+    scene, cfg, _ = load_scene(SCENE_DIR + "/csphere/", "single-ball.xml")
+    cfg = dataclasses.replace(cfg, w=16, h=16, focal=cfg.focal * 16 / 512,
+                              end_x=16, end_y=16, max_bounce=3,
+                              anti_alias=False, stratified_sampling=False,
+                              use_rr=False, world_scattering=False,
+                              medium_kinds=(), has_null_bsdf=False)
+    mesh = make_mesh(4, spp_parallel=1)      # 4-way pixel sharding
+    r = MultiChipRenderer(scene, cfg, mesh, seed=5, bdpt=True)
+    out = np.asarray(r.render()).reshape(-1, 3)
+    assert np.isfinite(out).all() and out.max() > 0.01
+
+    key = jax.random.PRNGKey(5)
+    _, sub = jax.random.split(key)
+    shard_n = cfg.n_pixels // 4
+    locals_, splat_sum = [], 0.0
+    for px_i in range(4):
+        k = jax.random.fold_in(jax.random.fold_in(sub, 0), px_i)
+        pix = px_i * shard_n + jnp.arange(shard_n, dtype=jnp.int32)
+        local, splat, _b, _c = bdpt_pass_core(scene, cfg, k, jnp.int32(1),
+                                              pix_ids=pix)
+        locals_.append(np.asarray(local))
+        splat_sum = splat_sum + np.asarray(splat)
+    ref = np.concatenate(locals_, axis=0) + splat_sum
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-6)
