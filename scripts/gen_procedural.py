@@ -124,6 +124,43 @@ def ensure_all():
     ensure_texture("textures/crystal.jpg")
     ensure_texture("textures/lava.jpeg")
     ensure_texture("textures/mat.jpeg")
+    ensure_vol("embergen_dust_devil_tornado_a_50-256-256-256.vol",
+               kind="tornado")
+    ensure_vol("janga-smoke-264-136-136.vol", kind="plume")
+
+
+def ensure_vol(name, kind="plume", n=96):
+    """Deterministic procedural density grid for scenes that reference
+    unshipped EmberGen `.vol` assets (mitsuba3 format via write_vol)."""
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    path = os.path.join(here, "scenes", "volume", name)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    if os.path.exists(path):
+        return path
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    from adapt_tpu.native import write_vol
+    z, y, x = np.mgrid[0:n, 0:n, 0:n].astype(np.float32) / (n - 1)
+    swirl = np.sin(7.0 * y + 11.0 * (x + z)) * 0.04
+    if kind == "tornado":
+        # swirling funnel: radius grows with height around a wavy axis
+        cx = 0.5 + 0.08 * np.sin(6.0 * y) + swirl
+        cz = 0.5 + 0.08 * np.cos(6.0 * y) + swirl
+        r = np.sqrt((x - cx) ** 2 + (z - cz) ** 2)
+        funnel = 0.06 + 0.25 * y
+        d = np.exp(-((r / funnel) ** 2) * 4.0) * (0.3 + 0.7 * y)
+    else:
+        # buoyant plume: dense core rising and spreading
+        cx = 0.5 + 0.1 * np.sin(4.0 * y) + swirl
+        cz = 0.5 + 0.1 * np.cos(5.0 * y) + swirl
+        r = np.sqrt((x - cx) ** 2 + (z - cz) ** 2)
+        width = 0.12 + 0.18 * y * y
+        d = np.exp(-((r / width) ** 2) * 3.0) * np.exp(-2.5 * y)
+    d *= (0.75 + 0.25 * np.sin(13.0 * x) * np.sin(17.0 * z)
+          * np.sin(9.0 * y))
+    write_vol(path, d.astype(np.float32))
+    print(f"wrote {path}")
+    return path
 
 
 if __name__ == "__main__":
