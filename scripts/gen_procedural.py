@@ -124,9 +124,45 @@ def ensure_all():
     ensure_texture("textures/crystal.jpg")
     ensure_texture("textures/lava.jpeg")
     ensure_texture("textures/mat.jpeg")
+    ensure_texture("kitchen_textures/wood.jpg")
     ensure_vol("embergen_dust_devil_tornado_a_50-256-256-256.vol",
                kind="tornado")
     ensure_vol("janga-smoke-264-136-136.vol", kind="plume")
+    ensure_orbs()
+
+
+def ensure_orbs():
+    """Stand-ins for the ite-orb material-orb scene (reference README.md:34:
+    ~500k prims, 24 bounces). The original orb meshes bake world positions,
+    so the knots are translated to a plausible two-row layout around the
+    scene's camera target; six ~80k-tri orbs total ~480k prims."""
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    d = os.path.join(here, "scenes", "meshes", "ite-orb")
+    os.makedirs(d, exist_ok=True)
+    orbs = {"left.obj": (-0.95, -0.55), "mid.obj": (-0.35, -0.5),
+            "right.obj": (0.25, -0.55), "back-left.obj": (-0.8, 0.25),
+            "back-mid.obj": (-0.2, 0.3), "back-right.obj": (0.4, 0.25)}
+    for name, (cx, cz) in orbs.items():
+        path = os.path.join(d, name)
+        if os.path.exists(path):
+            continue
+        verts, faces = torus_knot(400, 100, R=1.0, r=0.35, tube=0.18)
+        verts = verts * 0.13 + np.array([cx, 0.2, cz])
+        write_obj(path, verts, faces)
+        print(f"wrote {path}: {faces.shape[0]} tris")
+    fl = os.path.join(d, "floor.obj")
+    if not os.path.exists(fl):
+        with open(fl, "w") as fh:
+            fh.write("v -6 0 -6\nv 6 0 -6\nv 6 0 6\nv -6 0 6\n"
+                     "f 1 3 2\nf 1 4 3\n")
+        print(f"wrote {fl}")
+    em = os.path.join(d, "emitter.obj")
+    if not os.path.exists(em):
+        with open(em, "w") as fh:
+            fh.write("v -0.65 2.2 -1.15\nv -0.05 2.2 -1.15\n"
+                     "v -0.05 2.2 -0.55\nv -0.65 2.2 -0.55\n"
+                     "f 1 2 3\nf 1 3 4\n")
+        print(f"wrote {em}")
 
 
 def ensure_vol(name, kind="plume", n=96):
