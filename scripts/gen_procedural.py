@@ -125,6 +125,7 @@ def ensure_all():
     ensure_texture("textures/lava.jpeg")
     ensure_texture("textures/mat.jpeg")
     ensure_texture("kitchen_textures/wood.jpg")
+    ensure_texture("../complex/bathroom/textures/wood.jpg")
     ensure_vol("embergen_dust_devil_tornado_a_50-256-256-256.vol",
                kind="tornado")
     ensure_vol("janga-smoke-264-136-136.vol", kind="plume")

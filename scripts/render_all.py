@@ -43,6 +43,9 @@ SCENES = [
     ("cbox", "bunny.xml", "pt"),
     ("cbox", "bvh-benchmark.xml", "pt"),
     ("cbox", "knot2k-test.xml", "pt"),
+    ("cbox", "single-orb.xml", "pt"),
+    ("cbox", "ite-orb.xml", "pt"),
+    ("csphere", "balls-multi-showcase.xml", "pt"),
 ]
 
 
