@@ -56,6 +56,8 @@ bounce-closest baseline 515 ms):
  * LANE_B=128: bounce closest improves 1.22x (smaller tiles waste fewer
    brute lanes) but primaries and any-hits regress 20-45% (double the
    sweeps) — full 12-bounce render 5.24 vs 4.42 s/spp. Keep 256.
+ * REMASK=16 and G_ORDER=4: both flat within noise — neither mask
+   freshness nor order granularity is the binding constraint.
 
 Reference behavior: tracer/path_tracer.py:338-422 (BVH dispatch contract).
 """
