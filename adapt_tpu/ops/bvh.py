@@ -72,12 +72,14 @@ def _leaf_prim_test(row, valid, ray_o, ray_d):
     return t, gid, u, v
 
 
-def traverse(scene, ray_o, ray_d, max_t=None, any_hit=False):
+def traverse(scene, ray_o, ray_d, max_t=None, any_hit=False, alive=None):
     """Closest-hit (or any-hit) BVH traversal for a ray wavefront.
 
     Returns (best_t, best_prim, best_u, best_v) — best_t clipped at max_t
     and best_prim = -1 on miss. With any_hit=True, lanes stop at the first
-    accepted hit (shadow rays)."""
+    accepted hit (shadow rays). alive: optional (N,) bool — dead lanes are
+    forced to miss (best_t=-3e38, prim=-1) and never walk the tree, so all
+    dispatch tiers honor the same forced-miss contract."""
     N = ray_o.shape[0]
     M = scene.bvh_node_pack.shape[0]
     P = scene.bvh_prim_pack.shape[0]
@@ -85,7 +87,12 @@ def traverse(scene, ray_o, ray_d, max_t=None, any_hit=False):
         else jnp.where(max_t > 0.0, max_t - RAY_EPS, FAR)
     inv_d = 1.0 / jnp.where(jnp.abs(ray_d) < 1e-9, 1e-9, ray_d)
 
-    st = dict(cursor=jnp.zeros((N,), jnp.int32),
+    cursor0 = jnp.zeros((N,), jnp.int32)
+    if alive is not None:
+        far0 = jnp.where(alive, far0, -3e38)
+        cursor0 = jnp.where(alive, cursor0, M)
+
+    st = dict(cursor=cursor0,
               best_t=far0,
               best_prim=jnp.full((N,), -1, jnp.int32),
               best_u=jnp.zeros((N,), jnp.float32),

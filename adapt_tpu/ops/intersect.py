@@ -161,7 +161,7 @@ def ray_intersect(scene, cfg, ray_o, ray_d, max_t=None, alive=None):
     if cfg.use_bvh and not cfg.use_pallas:
         from .bvh import traverse
         best_t, best_prim, best_u, best_v = traverse(scene, ray_o, ray_d,
-                                                     max_t)
+                                                     max_t, alive=alive)
         is_sphere_hit = scene.prim_is_sphere[jnp.maximum(best_prim, 0)] \
             & (best_prim >= 0)
         return _assemble_interaction(scene, cfg, ray_o, ray_d, best_t,
@@ -385,7 +385,7 @@ def does_intersect(scene, cfg, ray_o, ray_d, max_t=None, alive=None):
     if cfg.use_bvh and not cfg.use_pallas:
         from .bvh import traverse
         _t, prim, _u, _v = traverse(scene, ray_o, ray_d, max_t,
-                                    any_hit=True)
+                                    any_hit=True, alive=alive)
         return prim >= 0
     N = ray_o.shape[0]
     far = jnp.full((N,), FAR, jnp.float32) if max_t is None \

@@ -76,14 +76,32 @@ def render_pass_multichip(scene, cfg, mesh: Mesh, trace_fn):
         # the one collective: average the spp groups' framebuffers over ICI
         return jax.lax.pmean(color, "spp")
 
-    import inspect
-    kw = {"check_vma": False} \
-        if "check_vma" in inspect.signature(shard_map).parameters \
-        else {"check_rep": False}
     step = shard_map(_shard_fn, mesh=mesh,
                      in_specs=(P(), P(), P()),
-                     out_specs=P("px"), **kw)
-    return jax.jit(step)
+                     out_specs=P("px"), **_shard_map_kw())
+    return _jit_with_crop(step, cfg)
+
+
+def _shard_map_kw():
+    import inspect
+    return ({"check_vma": False}
+            if "check_vma" in inspect.signature(shard_map).parameters
+            else {"check_rep": False})
+
+
+def _jit_with_crop(step, cfg):
+    """Jit a multichip pass, zeroing pixels outside the crop window (the
+    single-chip passes do this inline; the reference only traces within
+    the crop range, tracer_base.py:39-55)."""
+    from ..renderer.base import crop_mask
+    mask = crop_mask(cfg)
+    if mask is None:
+        return jax.jit(step)
+
+    def masked(scene, key, cnt):
+        return jnp.where(mask[..., None], step(scene, key, cnt), 0.0)
+
+    return jax.jit(masked)
 
 
 def render_pass_bdpt_multichip(scene, cfg, mesh: Mesh):
@@ -117,14 +135,10 @@ def render_pass_bdpt_multichip(scene, cfg, mesh: Mesh):
         mine = jax.lax.dynamic_slice_in_dim(splat, px_i * shard_n, shard_n)
         return jax.lax.pmean(local + mine, "spp")
 
-    import inspect
-    kw = {"check_vma": False} \
-        if "check_vma" in inspect.signature(shard_map).parameters \
-        else {"check_rep": False}
     step = shard_map(_shard_fn, mesh=mesh,
                      in_specs=(P(), P(), P()),
-                     out_specs=P("px"), **kw)
-    return jax.jit(step)
+                     out_specs=P("px"), **_shard_map_kw())
+    return _jit_with_crop(step, cfg)
 
 
 class MultiChipRenderer:

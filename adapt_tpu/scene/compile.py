@@ -448,12 +448,30 @@ def compile_scene(emitters, array_info, objects, configs, scene_dir="."):
                    cl_rows=jnp.asarray(cl_rows),
                    cl_chunk=jnp.asarray(cl_chunk))
     else:
-        bvh = dict(bvh_node_pack=jnp.zeros((1, 9), jnp.float32),
+        # Placeholders follow the same inverted-box convention as
+        # _cluster_cut padding (lo=+3e38 > hi=-3e38 never passes a slab
+        # test) so an accidental cluster dispatch on a sceneless config
+        # cannot produce phantom hits at the origin.
+        inv_box8 = np.zeros((1, 8), np.float32)
+        inv_box8[:, 0:3], inv_box8[:, 3:6] = 3e38, -3e38
+        inv_aabb_t = np.zeros((8, 128), np.float32)
+        inv_aabb_t[0:3, :], inv_aabb_t[3:6, :] = 3e38, -3e38
+        inv_chunk = np.zeros((8, 1), np.float32)
+        inv_chunk[0:3, :], inv_chunk[3:6, :] = 3e38, -3e38
+        empty_rows = np.zeros((1, 24, 128), np.float32)
+        empty_rows[:, 13, :] = -1.0            # gid row: mark padding
+        # placeholder node: inverted box with skip=1 — an accidental
+        # traverse() on an unbuilt BVH misses and TERMINATES (skip=0 made
+        # the cursor walk spin forever on a box miss)
+        inv_node = np.zeros((1, 9), np.float32)
+        inv_node[:, 0:3], inv_node[:, 3:6] = 3e38, -3e38
+        inv_node[:, 8] = 1.0
+        bvh = dict(bvh_node_pack=jnp.asarray(inv_node),
                    bvh_prim_pack=jnp.zeros((1, 14), jnp.float32),
-                   cl_aabb=jnp.zeros((1, 8), jnp.float32),
-                   cl_aabb_t=jnp.zeros((8, 128), jnp.float32),
-                   cl_rows=jnp.zeros((1, 24, 128), jnp.float32),
-                   cl_chunk=jnp.zeros((8, 1), jnp.float32))
+                   cl_aabb=jnp.asarray(inv_box8),
+                   cl_aabb_t=jnp.asarray(inv_aabb_t),
+                   cl_rows=jnp.asarray(empty_rows),
+                   cl_chunk=jnp.asarray(inv_chunk))
 
     # --- camera ---
     cam_orient = configs["transform"][0].astype(np.float32)
