@@ -68,6 +68,21 @@ def crop_mask(cfg):
     return jnp.asarray(m.reshape(-1))
 
 
+def crop_pix_ids(cfg):
+    """Flat pixel ids (i*h + j) of the crop window, or None when no crop.
+
+    The reference only traces within the crop range (tracer_base.py:39-55)
+    — its crop mechanism exists precisely to make deep-path transient BDPT
+    affordable; wavefront renderers restrict their pixel wavefront to these
+    ids instead of masking a full-film pass."""
+    w, h = cfg.w, cfg.h
+    if (cfg.start_x, cfg.end_x, cfg.start_y, cfg.end_y) == (0, w, 0, h):
+        return None
+    i = np.arange(cfg.start_x, cfg.end_x)[:, None]
+    j = np.arange(cfg.start_y, cfg.end_y)[None, :]
+    return jnp.asarray((i * h + j).reshape(-1).astype(np.int32))
+
+
 class ProgressiveRenderer:
     """Stateful host wrapper with the reference's incremental-display API."""
 
@@ -112,18 +127,34 @@ class ProgressiveRenderer:
         return np.asarray(jnp.swapaxes(self.pixels, 0, 1))[::-1]
 
     # --- checkpointing (reference path_tracer.py:181-211) ---
+    # The reference validates film size, crop window, focal and counts on
+    # load (path_tracer.py:195-211); we additionally pin the renderer type
+    # so a 'pt' checkpoint cannot silently resume into a 'bdpt' run.
+    _CHECK_KEYS = ("w", "h", "focal", "max_bounce",
+                   "start_x", "end_x", "start_y", "end_y")
+
     def get_check_point(self) -> dict:
-        return {
-            "w": self.cfg.w, "h": self.cfg.h, "focal": self.cfg.focal,
+        chk = {k: getattr(self.cfg, k) for k in self._CHECK_KEYS}
+        chk.update({
+            "renderer": type(self).__name__,
             "accumulation": np.asarray(self.color),
             "counter": self.cnt,
             "key": np.asarray(jax.random.key_data(self.key)),
-        }
+        })
+        return chk
 
     def load_check_point(self, chk: dict):
-        for k in ("w", "h"):
-            if chk[k] != getattr(self.cfg, k):
-                raise ValueError(f"checkpoint mismatch on '{k}'")
+        want = type(self).__name__
+        got = chk.get("renderer", want)
+        if got != want:
+            raise ValueError(
+                f"checkpoint was written by renderer '{got}', cannot "
+                f"resume into '{want}'")
+        for k in self._CHECK_KEYS:
+            if k in chk and chk[k] != getattr(self.cfg, k):
+                raise ValueError(
+                    f"checkpoint mismatch on '{k}': saved {chk[k]!r}, "
+                    f"current config {getattr(self.cfg, k)!r}")
         self.color = jnp.asarray(chk["accumulation"])
         self.cnt = int(chk["counter"])
         self.key = jax.random.wrap_key_data(jnp.asarray(chk["key"]))

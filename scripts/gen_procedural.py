@@ -130,6 +130,39 @@ def ensure_all():
                kind="tornado")
     ensure_vol("janga-smoke-264-136-136.vol", kind="plume")
     ensure_orbs()
+    ensure_foam()
+
+
+def _box_mesh(lo, hi):
+    """Closed axis-aligned box; 12 tris, CCW-outward winding."""
+    lo, hi = np.asarray(lo, float), np.asarray(hi, float)
+    corners = np.array([[lo[0], lo[1], lo[2]], [hi[0], lo[1], lo[2]],
+                        [hi[0], hi[1], lo[2]], [lo[0], hi[1], lo[2]],
+                        [lo[0], lo[1], hi[2]], [hi[0], lo[1], hi[2]],
+                        [hi[0], hi[1], hi[2]], [lo[0], hi[1], hi[2]]])
+    quads = [(0, 3, 2, 1), (4, 5, 6, 7), (0, 1, 5, 4),
+             (2, 3, 7, 6), (1, 2, 6, 5), (3, 0, 4, 7)]
+    faces = []
+    for a, b, c, d in quads:
+        faces += [(a, b, c), (a, c, d)]
+    return corners, np.asarray(faces)
+
+
+def ensure_foam():
+    """Stand-in for the transient foam slab (reference trans/foam.xml:
+    ../meshes/foam/foam4.obj, unshipped). A 4 mm-thick closed slab of
+    scattering medium (u_s=313.66 -> optical depth ~1.25) centered between
+    the collimated laser (z=+0.02) and camera (z=-0.02), wide enough to
+    cover the 15-degree-fov center crop."""
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    path = os.path.join(here, "scenes", "meshes", "foam", "foam4.obj")
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    if not os.path.exists(path):
+        verts, faces = _box_mesh([-0.06, -0.06, -0.002],
+                                 [0.06, 0.06, 0.002])
+        write_obj(path, verts, faces)
+        print(f"wrote {path}: {faces.shape[0]} tris")
+    return path
 
 
 def ensure_orbs():
