@@ -125,6 +125,85 @@ def _one_hot_tr(kind, tr, pdf, ch):
     return jnp.broadcast_to(tr[:, None], (tr.shape[0], 3))
 
 
+# Compaction slice width as a fraction of the wavefront: the tracking
+# loops' cost is per-lane HBM density gathers (~10 ns/element on v5e,
+# measured in scripts/bench_gather.py), and typically only a small
+# fraction of lanes even cross the volume AABB (10.9% of cbox-rgbvol
+# camera rays, scripts/bench_volume.py). Crossing lanes are sorted to the
+# front (one multi-operand lax.sort, ~1 ms at 262k) and the stochastic
+# march runs on fixed (N/_COMPACT_DIV,)-wide slices, with a dynamic number
+# of rounds — only ceil(M/C) slices of gathers are paid instead of N-wide
+# gathers for every lane every step (8x on the tornado scene).
+_COMPACT_DIV = 8
+_COMPACT_MIN = 2048     # below this, slicing overhead beats the win
+
+
+def _compact_rounds(crossing, inputs, outputs, round_fn):
+    """Run round_fn on front-compacted fixed-width slices of the lanes
+    where `crossing` is True.
+
+    inputs: dict of (N,...)/(N,) arrays consumed by round_fn;
+    outputs: dict of (N,...) defaults (returned unchanged for non-crossing
+    lanes); round_fn(r, ins_slice, outs_slice, live) -> outs_slice, where
+    `live` marks slice lanes that need the march.
+    """
+    N = crossing.shape[0]
+    if N <= _COMPACT_MIN:
+        return round_fn(jnp.int32(0), inputs, outputs, crossing)
+
+    from .intersect import _sort_by
+    C = -(-N // _COMPACT_DIV)
+    C = -(-C // 128) * 128                  # lane-aligned slice
+    lane = jnp.arange(N, dtype=jnp.int32)
+    key_order = jnp.where(crossing, 0, 1).astype(jnp.int32)
+    vals = _sort_by(key_order, [inputs[k] for k in inputs] + [lane])
+    ins_s = dict(zip(inputs, vals[:-1]))
+    lane_s = vals[-1]
+    m = jnp.sum(crossing.astype(jnp.int32))
+    # outputs are per-lane defaults — create them directly in sorted space
+    # instead of paying sort operands for constants
+    outs_s = dict(outputs)
+
+    def cond(st):
+        r, _ = st
+        return r * C < m
+
+    def body(st):
+        r, outs = st
+        off = r * C
+
+        def sl(x):
+            return jax.lax.dynamic_slice(
+                x, (off,) + (0,) * (x.ndim - 1), (C,) + x.shape[1:])
+
+        live = (off + jnp.arange(C, dtype=jnp.int32)) < m
+        ins_r = {k: sl(v) for k, v in ins_s.items()}
+        outs_r = {k: sl(v) for k, v in outs.items()}
+        outs_r = round_fn(r, ins_r, outs_r, live)
+        outs = {k: jax.lax.dynamic_update_slice(
+            outs[k], outs_r[k], (off,) + (0,) * (outs[k].ndim - 1))
+            for k in outs}
+        return r + 1, outs
+
+    # pad so fixed-width slices never read out of bounds
+    total = -(-N // C) * C
+    pad_n = total - N
+    if pad_n:
+        ins_s = {k: jnp.concatenate(
+            [v, jnp.zeros((pad_n,) + v.shape[1:], v.dtype)]) for k, v in
+            ins_s.items()}
+        outs_s = {k: jnp.concatenate(
+            [v, jnp.zeros((pad_n,) + v.shape[1:], v.dtype)]) for k, v in
+            outs_s.items()}
+
+    _, outs_s = jax.lax.while_loop(cond, body, (jnp.int32(0), outs_s))
+    if pad_n:
+        outs_s = {k: v[:N] for k, v in outs_s.items()}
+    # restore original lane order (sort by lane id — dense, no gathers)
+    restored = _sort_by(lane_s, [outs_s[k] for k in outputs])
+    return dict(zip(outputs, restored))
+
+
 def sample_distance_delta_tracking(vol, kind, key, ray_o, ray_d, thp, max_t):
     """Spectral delta-tracking distance sample (volume.py:346-402).
 
@@ -140,31 +219,46 @@ def sample_distance_delta_tracking(vol, kind, key, ray_o, ray_d, thp, max_t):
     albedo = tgather(vol.albedo, ch)
 
     t0 = near - jnp.log(1.0 - jax.random.uniform(k_t0, (N,))) * inv_maj
-    valid = (near < far) & (far > 0.0)
-    state = dict(t=t0, tr=jnp.ones((N,), jnp.float32),
-                 hit_t=jnp.full((N,), -1.0),
-                 done=~valid | (t0 >= far), step=jnp.int32(0))
+    crossing = (near < far) & (far > 0.0) & (t0 < far)
 
-    def cond(st):
-        return (~jnp.all(st["done"])) & (st["step"] < MAX_STEPS)
+    # sorted-space operands kept minimal (sort cost scales with payload);
+    # per-channel constants rebuild from `ch` inside the round
+    inputs = dict(lo=lo, ld=ld, far=far, ch=ch, t0=t0)
+    outputs = dict(hit_t=jnp.full((N,), -1.0),
+                   tr=jnp.ones((N,), jnp.float32))
 
-    def body(st):
-        k = jax.random.fold_in(key, st["step"])
-        u = jax.random.uniform(k, (N, 5))
-        d = _density_lookup(vol, lo + st["t"][:, None] * ld, u[:, :3])
-        n_t = select_along(d, ch)
-        collide = (~st["done"]) & (u[:, 3] < n_t * inv_maj)
-        hit_t = jnp.where(collide, st["t"], st["hit_t"])
-        tr = jnp.where(collide, st["tr"] * albedo, st["tr"])
-        t = st["t"] - jnp.log(1.0 - u[:, 4]) * inv_maj
-        done = st["done"] | collide | (t >= far)
-        return dict(t=t, tr=tr, hit_t=hit_t, done=done, step=st["step"] + 1)
+    def round_fn(r, ins, outs, live):
+        n = ins["t0"].shape[0]
+        inv_m = 1.0 / tgather(vol.majorant, ins["ch"])
+        alb = tgather(vol.albedo, ins["ch"])
+        state = dict(t=ins["t0"], tr=outs["tr"], hit_t=outs["hit_t"],
+                     done=~live, step=jnp.int32(0))
 
-    st = jax.lax.while_loop(cond, body, state)
-    beta = _one_hot_tr(kind, st["tr"], pdf, ch)
-    has_hit = st["hit_t"] > 0.0
+        def cond(st):
+            return (~jnp.all(st["done"])) & (st["step"] < MAX_STEPS)
+
+        def body(st):
+            k = jax.random.fold_in(key, r * (MAX_STEPS + 1) + st["step"])
+            u = jax.random.uniform(k, (n, 5))
+            d = _density_lookup(vol, ins["lo"] + st["t"][:, None]
+                                * ins["ld"], u[:, :3])
+            n_t = select_along(d, ins["ch"])
+            collide = (~st["done"]) & (u[:, 3] < n_t * inv_m)
+            hit_t = jnp.where(collide, st["t"], st["hit_t"])
+            tr = jnp.where(collide, st["tr"] * alb, st["tr"])
+            t = st["t"] - jnp.log(1.0 - u[:, 4]) * inv_m
+            done = st["done"] | collide | (t >= ins["far"])
+            return dict(t=t, tr=tr, hit_t=hit_t, done=done,
+                        step=st["step"] + 1)
+
+        st = jax.lax.while_loop(cond, body, state)
+        return dict(hit_t=st["hit_t"], tr=st["tr"])
+
+    outs = _compact_rounds(crossing, inputs, outputs, round_fn)
+    beta = _one_hot_tr(kind, outs["tr"], pdf, ch)
+    has_hit = outs["hit_t"] > 0.0
     beta = jnp.where(has_hit[:, None], beta, 1.0)
-    return st["hit_t"], beta
+    return outs["hit_t"], beta
 
 
 def eval_tr_ratio_tracking(vol, kind, key, ray_o, ray_d, thp, max_t):
@@ -177,30 +271,40 @@ def eval_tr_ratio_tracking(vol, kind, key, ray_o, ray_d, thp, max_t):
     ch, pdf, maj = _pick_channel(vol, thp, u_ch)
     inv_maj = 1.0 / maj
 
-    valid = (near < far) & (far > 0.0)
-    state = dict(t=near, tr=jnp.ones((N,), jnp.float32), done=~valid,
-                 step=jnp.int32(0))
+    crossing = (near < far) & (far > 0.0)
+    inputs = dict(lo=lo, ld=ld, near=near, far=far, ch=ch)
+    outputs = dict(tr=jnp.ones((N,), jnp.float32))
 
-    def cond(st):
-        return (~jnp.all(st["done"])) & (st["step"] < MAX_STEPS)
+    def round_fn(r, ins, outs, live0):
+        n = ins["near"].shape[0]
+        inv_m = 1.0 / tgather(vol.majorant, ins["ch"])
+        state = dict(t=ins["near"], tr=outs["tr"], done=~live0,
+                     step=jnp.int32(0))
 
-    def body(st):
-        k = jax.random.fold_in(key, st["step"])
-        u = jax.random.uniform(k, (N, 5))
-        t = st["t"] - jnp.log(1.0 - u[:, 4]) * inv_maj
-        exited = t >= far
-        d = _density_lookup(vol, lo + t[:, None] * ld, u[:, :3])
-        n_t = select_along(d, ch)
-        live = ~st["done"] & ~exited
-        tr = jnp.where(live, st["tr"] * jnp.maximum(
-            0.0, 1.0 - n_t * inv_maj), st["tr"])
-        # Russian roulette on low transmittance (volume.py:448-453)
-        rr = live & (tr < 0.1)
-        killed = rr & (u[:, 3] >= tr)
-        tr = jnp.where(killed, 0.0, jnp.where(rr, 1.0, tr))
-        done = st["done"] | exited | killed
-        return dict(t=t, tr=tr, done=done, step=st["step"] + 1)
+        def cond(st):
+            return (~jnp.all(st["done"])) & (st["step"] < MAX_STEPS)
 
-    st = jax.lax.while_loop(cond, body, state)
-    tr3 = _one_hot_tr(kind, st["tr"], pdf, ch)
-    return jnp.where(valid[:, None], tr3, 1.0)
+        def body(st):
+            k = jax.random.fold_in(key, r * (MAX_STEPS + 1) + st["step"])
+            u = jax.random.uniform(k, (n, 5))
+            t = st["t"] - jnp.log(1.0 - u[:, 4]) * inv_m
+            exited = t >= ins["far"]
+            d = _density_lookup(vol, ins["lo"] + t[:, None] * ins["ld"],
+                                u[:, :3])
+            n_t = select_along(d, ins["ch"])
+            live = ~st["done"] & ~exited
+            tr = jnp.where(live, st["tr"] * jnp.maximum(
+                0.0, 1.0 - n_t * inv_m), st["tr"])
+            # Russian roulette on low transmittance (volume.py:448-453)
+            rr = live & (tr < 0.1)
+            killed = rr & (u[:, 3] >= tr)
+            tr = jnp.where(killed, 0.0, jnp.where(rr, 1.0, tr))
+            done = st["done"] | exited | killed
+            return dict(t=t, tr=tr, done=done, step=st["step"] + 1)
+
+        st = jax.lax.while_loop(cond, body, state)
+        return dict(tr=st["tr"])
+
+    outs = _compact_rounds(crossing, inputs, outputs, round_fn)
+    tr3 = _one_hot_tr(kind, outs["tr"], pdf, ch)
+    return jnp.where(crossing[:, None], tr3, 1.0)

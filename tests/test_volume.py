@@ -41,30 +41,39 @@ def _rays(n):
     return jnp.asarray(o), jnp.asarray(d)
 
 
+# Effective chord of the stochastic-NN density field: the lookup
+# idx=floor(x+u-0.5) (reference volume.py:307-314) falls outside the grid
+# with prob (0.5-x) in the half-voxel face shells, so E[d(x)]/sigma ramps
+# linearly x+0.5 over x in [0,0.5); by Campbell's theorem the Poisson-mark
+# product estimator has E[Tr] = exp(-sigma * int E[d]/sigma dx) exactly,
+# and each shell integrates to 0.375 -> L_eff = (RES-1) + 2*0.375.
+# (The previous oracle used RES-1 — an error of exp(0.75*sigma) that sat
+# inside the old 8% gate only by sampling luck.)
+L_EFF = RES - 0.25
+
+
 def test_ratio_tracking_matches_beer_lambert(uniform_vol):
-    n = 8192
+    n = 32768
     o, d = _rays(n)
     tr = volume_ops.eval_tr_ratio_tracking(
         uniform_vol, 1, jax.random.PRNGKey(0), o, d,
         jnp.ones((n, 3)), jnp.full((n,), RES + 2.0))
-    # stochastic NN lookup sees half density in the half-voxel shells at
-    # both faces -> effective chord RES - 1 (reference volume.py:307-314)
-    expect = np.exp(-SIGMA * (RES - 1))
+    expect = np.exp(-SIGMA * L_EFF)
     got = float(np.asarray(tr).mean())
     assert abs(got - expect) / expect < 0.08, (got, expect)
 
 
 def test_delta_tracking_collision_statistics(uniform_vol):
-    n = 8192
+    n = 32768
     o, d = _rays(n)
     t, beta = volume_ops.sample_distance_delta_tracking(
         uniform_vol, 1, jax.random.PRNGKey(1), o, d,
         jnp.ones((n, 3)), jnp.full((n,), RES + 2.0))
     t = np.asarray(t)
-    # escape probability = exp(-sigma * effective chord)
+    # escape probability = exp(-sigma * effective chord), L_EFF as above
     p_escape = float((t < 0).mean())
-    expect = np.exp(-SIGMA * (RES - 1))
-    assert abs(p_escape - expect) < 0.02, (p_escape, expect)
+    expect = np.exp(-SIGMA * L_EFF)
+    assert abs(p_escape - expect) < 0.01, (p_escape, expect)
     # collision depths are Exp(sigma) truncated at the effective chord;
     # E[T | T < L] = 1/sigma - L exp(-sigma L)/(1 - exp(-sigma L)),
     # shifted by the half-voxel entry shell
