@@ -58,7 +58,13 @@ def get_options(argv=None):
                         help="checkpoint save cadence (0 = only on exit)")
     parser.add_argument("-p", "--profile", action="store_true",
                         help="dump a jax profiler trace")
-    parser.add_argument("--no_gui", action="store_true", default=True)
+    parser.add_argument("--no_gui", action="store_true", default=True,
+                        help="headless (always true here; kept for "
+                             "reference CLI compat — see --serve)")
+    parser.add_argument("--serve", type=int, default=-1, metavar="PORT",
+                        help="live incremental preview over HTTP on PORT "
+                             "(0 = pick a free port); the headless "
+                             "replacement for the reference's GUI window")
     parser.add_argument("-d", "--debug", action="store_true",
                         help="enable jax nan/inf checking")
     parser.add_argument("-a", "--analyze", action="store_true",

@@ -32,13 +32,18 @@ def build_renderer(opts, scene, cfg, configs):
     return getattr(mod, cls_name)(scene, cfg, seed=opts.seed)
 
 
-def checkpoint_path(opts):
+def checkpoint_path(opts, cfg):
+    """Renderer type AND resolution go in the filename so --width/--height
+    overrides of the same scene get distinct checkpoints (the load-time
+    consistency check in renderer/base.py would reject a collision, but a
+    colliding save would still clobber the other run's file)."""
     os.makedirs("./checkpoint", exist_ok=True)
-    return f"./checkpoint/{opts.img_name}-{opts.scene}-{opts.type}.pkl"
+    return (f"./checkpoint/{opts.img_name}-{opts.scene}-{opts.type}"
+            f"-{cfg.w}x{cfg.h}.pkl")
 
 
 def save_check_point(rdr, opts):
-    with open(checkpoint_path(opts), "wb") as f:
+    with open(checkpoint_path(opts, rdr.cfg), "wb") as f:
         pickle.dump(rdr.get_check_point(), f)
 
 
@@ -98,8 +103,15 @@ def main():
           f"{int(scene.prim_ng.shape[0])} prims, {cfg.w}x{cfg.h}, "
           f"renderer={opts.type}, backend={jax.default_backend()}")
 
-    if opts.load and os.path.exists(checkpoint_path(opts)):
-        with open(checkpoint_path(opts), "rb") as f:
+    preview = None
+    if opts.serve >= 0:
+        from adapt_tpu.utils.preview import PreviewServer
+        preview = PreviewServer(port=opts.serve,
+                                name=f"{opts.scene}/{opts.name}")
+        print(f"live preview: http://localhost:{preview.port}/")
+
+    if opts.load and os.path.exists(checkpoint_path(opts, cfg)):
+        with open(checkpoint_path(opts, cfg), "rb") as f:
             rdr.load_check_point(pickle.load(f))
         print(f"resumed from checkpoint at {rdr.cnt} iterations")
 
@@ -130,6 +142,8 @@ def main():
             img = rdr.image()
             write_image(os.path.join(opts.output_path,
                                      f"{opts.img_name}_{i + 1:05d}.png"), img)
+        if preview is not None:
+            preview.update(rdr.image(), rdr.cnt)
 
     try:
         if progress is not None:
@@ -149,6 +163,8 @@ def main():
     if opts.profile:
         jax.profiler.stop_trace()
         print("profiler trace written to ./profiler_trace")
+    if preview is not None:
+        preview.update(rdr.image(), rdr.cnt, min_interval=0.0)
 
     save_check_point(rdr, opts)
     img = rdr.image()
