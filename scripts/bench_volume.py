@@ -89,5 +89,22 @@ def main():
     print(f"ratio tracking (random rays, N={N}): {dt*1e3:9.2f} ms")
 
 
+def render_bench():
+    """Full-render s/spp for cbox-rgbvol at 512^2 (PARITY.md row)."""
+    from adapt_tpu.scene.compile import load_scene
+    from adapt_tpu.renderer.vpt import render_pass_vpt
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    scene, cfg, _ = load_scene(os.path.join(here, "scenes", "cbox"),
+                               "cbox-rgbvol.xml")
+    key = jax.random.PRNGKey(0)
+    f = jax.jit(lambda k, c: render_pass_vpt(scene, cfg, k, c))
+    dt = timeit(f, key, jnp.int32(1), reps=3, warmup=1)
+    print(f"cbox-rgbvol 512^2 full render: {dt:8.3f} s/spp "
+          f"(max_bounce={cfg.max_bounce})")
+
+
 if __name__ == "__main__":
-    main()
+    if os.environ.get("RENDER"):
+        render_bench()
+    else:
+        main()

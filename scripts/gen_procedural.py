@@ -131,6 +131,203 @@ def ensure_all():
     ensure_vol("janga-smoke-264-136-136.vol", kind="plume")
     ensure_orbs()
     ensure_foam()
+    ensure_vn_balls()
+    # generic room-layout stand-ins for the remaining unshipped asset
+    # packs (the reference repo doesn't ship them either): geometry is
+    # procedural, but every material/emitter/texture binding in the XML is
+    # exercised and the scenes render end-to-end
+    ensure_scene_standins("cbox", "venus.xml")
+    ensure_scene_standins("cbox", "vader.xml")
+    ensure_scene_standins("cbox", "kitchen.xml")
+    ensure_scene_standins("cbox", "skeleton.xml")
+    ensure_scene_standins("cbox", "smaller.xml")
+    ensure_scene_standins("csphere", "whiskey.xml")
+    ensure_texture("textures/bump/bump1.jpg")
+    ensure_texture("textures/bump/bump2.jpg")
+
+
+def _quad(path, p0, p1, p2, p3):
+    """Two-triangle quad with winding p0->p1->p2 (CCW from the normal
+    side)."""
+    with open(path, "w") as fh:
+        fh.write("# procedural quad stand-in\n")
+        for v in (p0, p1, p2, p3):
+            fh.write(f"v {v[0]:.6f} {v[1]:.6f} {v[2]:.6f}\n")
+        fh.write("f 1 2 3\nf 1 3 4\n")
+
+
+def ensure_scene_standins(suite, name):
+    """Generate missing meshes for one scene as a plausible room layout.
+
+    Reads the scene XML directly: camera lookat fixes the room frame;
+    floor/ceiling/wall-named meshes become the room shell, emitter-bound
+    meshes become downward ceiling panels, everything else lands on the
+    floor in a deterministic ring in front of the camera."""
+    import xml.etree.ElementTree as ET
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    xml_path = os.path.join(here, "scenes", suite, name)
+    if not os.path.exists(xml_path):
+        return
+    root = ET.parse(xml_path).getroot()
+
+    origin = target = None
+    for la in root.iter("lookat"):
+        origin = np.float32([float(x) for x in
+                             la.get("origin").replace(",", " ").split()])
+        target = np.float32([float(x) for x in
+                             la.get("target").replace(",", " ").split()])
+        break
+    if origin is None:
+        return
+    d = float(np.linalg.norm(target - origin)) or 1.0
+    fwd = (target - origin) / d
+    c = origin + fwd * (2.0 * d)               # room center ahead of cam
+    half = 3.0 * d
+    y_lo = min(origin[1], target[1]) - 0.8 * d
+    y_hi = max(origin[1], target[1]) + 1.6 * d
+
+    shapes = []
+    for sh in root.iter("shape"):
+        fn = None
+        has_emitter = False
+        for s in sh.iter("string"):
+            if s.get("name") == "filename":
+                fn = s.get("value")
+        for r in sh.iter("ref"):
+            if r.get("type") == "emitter":
+                has_emitter = True
+        if fn:
+            shapes.append((fn, has_emitter))
+
+    obj_i = emit_i = 0
+    for fn, has_emitter in shapes:
+        path = os.path.normpath(os.path.join(here, "scenes", suite, fn))
+        if os.path.exists(path):
+            continue
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        base = os.path.basename(fn).lower()
+        cx, cy, cz = float(c[0]), 0.0, float(c[2])
+        if has_emitter or any(k in base for k in
+                              ("emitter", "light", "lamp", "bulb")):
+            # small ceiling panel facing down, offset per emitter index
+            s = 0.25 * d
+            ox = cx + (emit_i % 3 - 1) * d
+            oz = cz + (emit_i // 3 - 0.5) * d
+            y = y_hi - 0.05 * d
+            _quad(path, (ox - s, y, oz - s), (ox + s, y, oz - s),
+                  (ox + s, y, oz + s), (ox - s, y, oz + s))
+            emit_i += 1
+        elif any(k in base for k in ("floor", "bottom", "ground")):
+            _quad(path, (cx - half, y_lo, cz + half),
+                  (cx + half, y_lo, cz + half),
+                  (cx + half, y_lo, cz - half),
+                  (cx - half, y_lo, cz - half))
+        elif any(k in base for k in ("ceiling", "top")):
+            _quad(path, (cx - half, y_hi, cz - half),
+                  (cx + half, y_hi, cz - half),
+                  (cx + half, y_hi, cz + half),
+                  (cx - half, y_hi, cz + half))
+        elif any(k in base for k in ("wall", "back", "door", "window",
+                                     "frame", "closet", "drawings")):
+            # side walls, assigned cyclically; normals face the room
+            side = (hash(base) & 3)
+            lo, hi = y_lo, y_hi
+            if side == 0:     # +x
+                _quad(path, (cx + half, lo, cz - half),
+                      (cx + half, lo, cz + half),
+                      (cx + half, hi, cz + half), (cx + half, hi, cz - half))
+            elif side == 1:   # -x
+                _quad(path, (cx - half, lo, cz + half),
+                      (cx - half, lo, cz - half),
+                      (cx - half, hi, cz - half), (cx - half, hi, cz + half))
+            elif side == 2:   # +z
+                _quad(path, (cx + half, lo, cz + half),
+                      (cx - half, lo, cz + half),
+                      (cx - half, hi, cz + half), (cx + half, hi, cz + half))
+            else:             # -z
+                _quad(path, (cx - half, lo, cz - half),
+                      (cx + half, lo, cz - half),
+                      (cx + half, hi, cz - half), (cx - half, hi, cz - half))
+        else:
+            # object on the floor: deterministic ring position in view
+            ang = 2.399963 * obj_i           # golden angle
+            r = (0.5 + 0.35 * (obj_i % 4)) * d
+            ox = cx + r * np.cos(ang)
+            oz = cz + r * np.sin(ang)
+            size = (0.18 + 0.06 * (obj_i % 3)) * d
+            verts, faces = torus_knot(120, 12, R=1.0, r=0.35, tube=0.18)
+            verts = verts * size * 0.5
+            verts[:, 1] -= verts[:, 1].min() - float(y_lo)
+            verts[:, 0] += ox
+            verts[:, 2] += oz
+            write_obj(path, verts, faces)
+            obj_i += 1
+        print(f"wrote {path}")
+
+
+def _uv_sphere(center, radius, n_u=24, n_v=16):
+    """UV sphere; returns (verts, faces, vertex_normals)."""
+    cs = np.asarray(center, float)
+    us = np.linspace(0.0, 2 * np.pi, n_u, endpoint=False)
+    vs = np.linspace(0.0, np.pi, n_v + 1)[1:-1]      # exclude poles
+    ring = np.stack([np.outer(np.sin(vs), np.cos(us)),
+                     np.cos(vs)[:, None] * np.ones_like(us)[None, :],
+                     np.outer(np.sin(vs), np.sin(us))], axis=-1)
+    ring = ring.reshape(-1, 3)
+    top = np.array([[0.0, 1.0, 0.0]])
+    bot = np.array([[0.0, -1.0, 0.0]])
+    normals = np.concatenate([top, ring, bot])
+    verts = cs + radius * normals
+    n_rings = len(vs)
+    it, ib = 0, 1 + len(ring)
+
+    def rid(r, u):
+        return 1 + r * n_u + (u % n_u)
+
+    faces = []
+    for u in range(n_u):                             # caps
+        faces.append((it, rid(0, u + 1), rid(0, u)))
+        faces.append((ib, rid(n_rings - 1, u), rid(n_rings - 1, u + 1)))
+    for r in range(n_rings - 1):
+        for u in range(n_u):
+            a, b = rid(r, u), rid(r, u + 1)
+            c, d = rid(r + 1, u), rid(r + 1, u + 1)
+            faces.append((a, b, d))
+            faces.append((a, d, c))
+    faces = np.asarray(faces)
+    # orient windings outward (one-sided materials need CCW-outward)
+    fv = verts[faces]
+    fn = np.cross(fv[:, 1] - fv[:, 0], fv[:, 2] - fv[:, 0])
+    out_dir = fv.mean(1) - cs
+    flip = np.einsum("fd,fd->f", fn, out_dir) < 0
+    faces[flip] = faces[flip][:, [0, 2, 1]]
+    return verts, faces, normals
+
+
+def ensure_vn_balls():
+    """flat-ball / smooth-ball stand-ins for cbox-vn.xml: the same sphere
+    mesh without and WITH per-vertex normals (f v//vn) — the scene that
+    exercises barycentric shading-normal interpolation."""
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    d = os.path.join(here, "scenes", "meshes", "cornell")
+    for name, center, radius, smooth in (
+            ("flat-ball.obj", (1.6, 1.0, 1.4), 1.0, False),
+            ("smooth-ball.obj", (3.8, 1.0, 3.2), 1.0, True)):
+        path = os.path.join(d, name)
+        if os.path.exists(path):
+            continue
+        verts, faces, normals = _uv_sphere(center, radius)
+        with open(path, "w") as fh:
+            fh.write("# procedural UV-sphere stand-in\n")
+            np.savetxt(fh, verts, fmt="v %.6f %.6f %.6f")
+            if smooth:
+                np.savetxt(fh, normals, fmt="vn %.6f %.6f %.6f")
+                np.savetxt(fh, np.repeat(faces + 1, 2, axis=1),
+                           fmt="f %d//%d %d//%d %d//%d")
+            else:
+                np.savetxt(fh, faces + 1, fmt="f %d %d %d")
+        print(f"wrote {path}: {faces.shape[0]} tris"
+              f" ({'smooth' if smooth else 'flat'})")
 
 
 def _box_mesh(lo, hi):

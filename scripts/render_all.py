@@ -53,6 +53,13 @@ SCENES = [
     ("cbox", "single-orb.xml", "pt"),
     ("cbox", "ite-orb.xml", "pt"),
     ("csphere", "balls-multi-showcase.xml", "pt"),
+    ("cbox", "cbox-vn.xml", "pt"),
+    ("cbox", "venus.xml", "pt"),
+    ("cbox", "vader.xml", "pt"),
+    ("cbox", "kitchen.xml", "pt"),
+    ("cbox", "skeleton.xml", "pt"),
+    ("cbox", "smaller.xml", "pt"),
+    ("csphere", "whiskey.xml", "pt"),
 ]
 
 

@@ -121,3 +121,56 @@ def test_sphere_intersection():
         assert float(it.t[0]) <= dist - r + 1e-3
         # normal at hit must face the camera
         assert float(jnp.sum(it.n_g[0] * jnp.asarray(d))) < 0.0
+
+
+def test_vertex_normal_interpolation():
+    """Barycentric shading-normal interpolation (reference
+    obj_loader.py:21-80 + tracer_base n_s path): on the smooth-ball
+    stand-in (UV sphere with vn), interpolated n_s must be ~radial and
+    differ from the facet n_g; the flat ball (no vn) falls back to n_g.
+    (VERDICT r1 #8: this path existed but was never exercised.)"""
+    import os
+    import dataclasses
+    scene_dir = os.path.join(os.path.dirname(__file__), "..", "scenes")
+    if not os.path.exists(os.path.join(scene_dir, "meshes", "cornell",
+                                       "smooth-ball.obj")):
+        pytest.skip("vn stand-ins not generated (scripts/gen_procedural)")
+    from adapt_tpu.scene.compile import load_scene
+    scene, cfg, _ = load_scene(os.path.join(scene_dir, "cbox"),
+                               "cbox-vn.xml")
+    assert cfg.has_v_normal
+
+    def shoot(center):
+        # fan of rays from a point toward the ball center
+        n = 64
+        rng = np.random.RandomState(0)
+        offs = rng.normal(size=(n, 3)).astype(np.float32) * 0.2
+        origin = np.float32([2.8, 2.5, -2.0])
+        ro = jnp.asarray(np.tile(origin, (n, 1)))
+        to = np.float32(center)[None, :] + offs - origin[None, :]
+        rd = jnp.asarray(to / np.linalg.norm(to, axis=1, keepdims=True))
+        it = ray_intersect(scene, cfg, ro, rd)
+        p = np.asarray(ro + it.t[:, None] * rd)
+        return it, p
+
+    # smooth ball at (3.8, 1.0, 3.2) r=1 (gen_procedural)
+    it, p = shoot([3.8, 1.0, 3.2])
+    hit_ball = np.asarray(it.is_hit) & (
+        np.linalg.norm(p - np.float32([3.8, 1.0, 3.2]), axis=1) < 1.05)
+    assert hit_ball.sum() > 16
+    radial = p[hit_ball] - np.float32([3.8, 1.0, 3.2])
+    radial /= np.linalg.norm(radial, axis=1, keepdims=True)
+    n_s = np.asarray(it.n_s)[hit_ball]
+    n_g = np.asarray(it.n_g)[hit_ball]
+    cos_s = np.einsum("nd,nd->n", n_s, radial)
+    assert cos_s.min() > 0.995, cos_s.min()         # interpolated ~radial
+    # shading normal differs from the facet normal almost everywhere
+    assert (np.einsum("nd,nd->n", n_s, n_g) < 0.99999).mean() > 0.5
+
+    # flat ball at (1.6, 1.0, 1.4): no vn -> n_s == n_g
+    it2, p2 = shoot([1.6, 1.0, 1.4])
+    hit2 = np.asarray(it2.is_hit) & (
+        np.linalg.norm(p2 - np.float32([1.6, 1.0, 1.4]), axis=1) < 1.05)
+    assert hit2.sum() > 16
+    np.testing.assert_allclose(np.asarray(it2.n_s)[hit2],
+                               np.asarray(it2.n_g)[hit2], atol=1e-6)
