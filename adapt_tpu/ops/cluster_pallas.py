@@ -70,12 +70,15 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+import os
+
 RAY_EPS = 1e-4
 FAR = 1e7
 ROW_F = 24             # padded field count (18 used)
-LANE_B = 256           # rays per tile (sublanes of the intermediates);
-                       # 1024 blew the 16M VMEM budget (~18 live (B,TC)
-                       # buffers in the prim test)
+# rays per tile (sublanes of the intermediates); 1024 blew the 16M VMEM
+# budget (~18 live (B,TC) buffers in the prim test). ADAPT_LANE_B re-runs
+# the tile-size experiment without a code edit.
+LANE_B = int(os.environ.get("ADAPT_LANE_B", "256"))
 TC = 128               # prims tested per inner chunk (lanes; 128-aligned)
 G_ORDER = 8            # ray tiles sharing one front-to-back cluster order
 REMASK = 32            # sweep steps between box-mask refreshes

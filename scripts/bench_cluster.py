@@ -15,11 +15,15 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
 
 
 def timed(fn, reps=5):
+    """Times with a device->host scalar fetch: block_until_ready through
+    the axon tunnel does not reliably block (scripts/bench_gather.py)."""
+    import numpy as np
     import jax
     times = []
     for _ in range(reps):
         t0 = time.perf_counter()
-        jax.block_until_ready(fn())
+        out = fn()
+        float(np.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[0])
         times.append(time.perf_counter() - t0)
     times.sort()
     return times[len(times) // 2]
@@ -55,8 +59,9 @@ def main():
     anyhit = jax.jit(lambda o, d: does_intersect(scene, cfg, o, d))
 
     for name, o, d in [("primary", ro, rd), ("bounce", o2, d2)]:
-        jax.block_until_ready(closest(o, d))
-        jax.block_until_ready(anyhit(o, d))
+        import numpy as _np
+        _np.asarray(closest(o, d))
+        _np.asarray(anyhit(o, d))
         tc = timed(lambda: closest(o, d))
         ta = timed(lambda: anyhit(o, d))
         print(f"{name}: closest {tc*1e3:8.1f} ms ({N/tc/1e6:6.2f} Mray/s)  "

@@ -17,6 +17,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.expanduser("~/.cache/adapt_tpu_jax"))
+
 
 def fetch(x):
     return np.asarray(x)
