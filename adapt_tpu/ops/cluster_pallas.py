@@ -8,24 +8,39 @@ time into C disjoint subtree clusters of <= CM prims (scene/compile.py
 `_cluster_cut`), each a contiguous padded block.
 
 The kernel grid is (ray_tiles,): a ray tile stays VMEM-resident while an
-in-kernel while_loop sweeps all clusters **front-to-back** (per-tile-group
-order from `_tile_cluster_order`, delivered via scalar prefetch), so the
-per-lane `t_near < t_best` prune starts rejecting clusters after the first
-hits land. The sweep exits early once the cluster mask goes all-zero —
-no remaining box beats any lane's t_best (closest) / every lane is
-occluded or out of reach (any-hit).
+in-kernel while_loop sweeps candidate clusters **front-to-back**.
 
-Per-sweep-step culling is two-phase, shaped for the VPU's (8,128) vregs:
+Default path (ADAPT_SHORTLIST=1): per-tile-group cluster SHORTLISTS are
+built OUTSIDE the kernel with one dense (rays, C) slab pass (per-group
+any-ray hit mask + front-most entry distance), sorted front-to-back, and
+delivered as packed int16 pairs via scalar prefetch (SMEM). The kernel
+sweeps ONLY the listed candidates — measured knot290k: primary rays hit
+a mean 7.6 / max 37 of 415 cluster boxes per 256-ray tile, bounce rays
+66 / 287, so the sweep shrinks 6-55x vs all-C. Each sweep step then costs
+one SMEM scalar read + one (B, K) chunk-AABB slab + one any() gate —
+none of the per-step mask machinery below. Tiles whose list overflows
+S=2*SL_WORDS entries (<=1% of bounce tiles) fall back to a chunk-gated
+sweep of all C clusters in index order (exact; order only affects the
+t_near < t_best prune). SMEM budget (probed: hard 1 MB, minor dim padded
+to 128 words): table rows are capped at SL_MAX_ROWS, tiles share a list
+in groups of G = ceil(n_tiles / SL_MAX_ROWS).
+
+Legacy path (ADAPT_SHORTLIST=0) sweeps all clusters per tile (per-tile-
+group front-to-back order from `_tile_cluster_order` via scalar
+prefetch) with two-phase per-step culling shaped for the VPU's (8,128)
+vregs:
  1. A (B, Cp) slab test of the WHOLE tile against ALL cluster boxes at
     once (fields-on-sublanes table `cl_aabb_t`), reduced over lanes to a
     (1, Cp) any-ray mask in VMEM scratch, refreshed every REMASK sweep
     steps with the current per-lane t_best. Per-step culling is then one
     one-hot extract from the mask. (A per-step (B,1)-shaped slab test
     wastes 127/128 VPU lanes and measured ~1.1 us x C x tiles — it was
-    the dominant cost of the whole intersect.)
+    the dominant cost of the whole intersect.) The sweep exits early
+    once the mask goes all-zero.
  2. For mask survivors, a (B, K) slab test against the cluster's K
     per-128-prim chunk AABBs (`cl_chunk`, tight sub-subtree boxes since
     chunks are contiguous DFS runs) gates the DMA and each brute chunk.
+    (The shortlist path keeps exactly this phase.)
 
 Only on a chunk hit is the cluster's prim block DMA'd into VMEM scratch
 and brute-force tested with the same exact-f32 VPU plane/dual-basis test
@@ -82,8 +97,17 @@ LANE_B = int(os.environ.get("ADAPT_LANE_B", "256"))
 TC = 128               # prims tested per inner chunk (lanes; 128-aligned)
 G_ORDER = 8            # ray tiles sharing one front-to-back cluster order
 REMASK = 32            # sweep steps between box-mask refreshes
+# shortlist sweep (default path): packed-int16 entries per group =
+# 2*SL_WORDS; table rows capped so the SMEM operand stays ~512 KB
+# (probed hard limit 1 MB, minor dim padded to multiples of 128 words)
+SHORTLIST = os.environ.get("ADAPT_SHORTLIST", "1") != "0"
+SL_WORDS = int(os.environ.get("ADAPT_SL_WORDS", "128"))
+SL_MAX_ROWS = 1024
+# max elements of one (gb, G*B, C) slab intermediate in _tile_shortlists
+_SL_MAX_ELEMS = 1 << 23
 
 _INTERPRET = False     # flipped by tests on backends without Mosaic
+_ABLATE = set()        # timing experiments only (scripts/ablate_cluster.py)
 
 
 def _prim_chunk_test(r, ro, rd):
@@ -159,13 +183,114 @@ def _chunk_hits(cab_ref, idx, K, ro, inv_d, t_best):
     return _slab_lanes(lambda k: cab[k:k + 1, :], ro, inv_d, t_best)
 
 
+def _visit_cluster_closest(idx, cab_ref, rows_hbm, buf, sem, ro, rd, inv_d,
+                           t_o, g_o, u_o, v_o, ng_o, ob_o, sph_o):
+    """Chunk-gate cluster idx, DMA its prim block on a hit, brute-test."""
+    K = buf.shape[1] // TC
+    chm = _chunk_hits(cab_ref, idx, K, ro, inv_d, t_o[:])    # (B, K)
+
+    @pl.when(jnp.any(chm))
+    def _():
+        dma = pltpu.make_async_copy(rows_hbm.at[idx], buf, sem)
+        dma.start()
+        dma.wait()
+        for kc in range(K):               # static unroll (K = CM/128)
+            ch_hit = chm[:, kc:kc + 1]
+
+            @pl.when(jnp.any(ch_hit))
+            def _(kc=kc, ch_hit=ch_hit):
+                r = buf[:, kc * TC:(kc + 1) * TC]       # (24, TC)
+                t, u, v = _prim_chunk_test(r, ro, rd)   # (B, TC)
+                bt = jnp.min(t, axis=1, keepdims=True)  # (B, 1)
+                col = jax.lax.broadcasted_iota(jnp.int32, t.shape, 1)
+                bi = jnp.min(jnp.where(t == bt, col, TC), axis=1,
+                             keepdims=True)
+                better = (bt < t_o[:]) & ch_hit
+                one_hot = col == bi
+
+                @pl.when(jnp.any(better))
+                def _():
+                    # ~30% of the brute chunk cost is this winner
+                    # extraction; skip it when no lane improved
+                    _select_winner(r, ro, rd, bt, better, one_hot,
+                                   t_o, g_o, u_o, v_o, ng_o, ob_o,
+                                   sph_o, u, v)
+
+
+def _visit_cluster_deferred(idx, cab_ref, rows_hbm, buf, sem, ro, rd,
+                            inv_d, t_o, wid_o):
+    """Closest-hit visit that records only (t, winner id); attribute
+    extraction is deferred to `_resolve_winner` outside the kernel.
+
+    In-kernel one-hot field extraction (`_select_winner`) measured 300 ms
+    of the 681 ms knot290k bounce-closest pass (scripts/ablate_cluster.py)
+    because it fires on nearly every brute chunk; carrying a packed
+    winner id instead costs two (B,1) where-updates."""
+    K = buf.shape[1] // TC
+    CM = buf.shape[1]
+    if "sweep_only" in _ABLATE:
+        t_o[:] = jnp.minimum(t_o[:], jnp.float32(1e6) + idx)
+        return
+    chm = _chunk_hits(cab_ref, idx, K, ro, inv_d, t_o[:])        # (B, K)
+    if "slab_only" in _ABLATE:
+        chm = chm & (t_o[:] < -1e30)
+
+    @pl.when(jnp.any(chm))
+    def _():
+        if "no_dma" not in _ABLATE:
+            dma = pltpu.make_async_copy(rows_hbm.at[idx], buf, sem)
+            dma.start()
+            dma.wait()
+        for kc in range(K):               # static unroll (K = CM/128)
+            ch_hit = chm[:, kc:kc + 1]
+
+            def body(kc=kc, ch_hit=ch_hit):
+                r = buf[:, kc * TC:(kc + 1) * TC]       # (24, TC)
+                t, _u, _v = _prim_chunk_test(r, ro, rd)  # (B, TC)
+                bt = jnp.min(t, axis=1, keepdims=True)   # (B, 1)
+                col = jax.lax.broadcasted_iota(jnp.int32, t.shape, 1)
+                bi = jnp.min(jnp.where(t == bt, col, TC), axis=1,
+                             keepdims=True)
+                better = (bt < t_o[:]) & ch_hit
+                t_o[:] = jnp.where(better, bt, t_o[:])
+                wid_o[:] = jnp.where(better, idx * CM + kc * TC + bi,
+                                     wid_o[:])
+
+            if "no_chunk_gate" in _ABLATE:
+                body()
+            else:
+                pl.when(jnp.any(ch_hit))(body)
+
+
+def _visit_cluster_any(idx, cab_ref, rows_hbm, buf, sem, ro, rd, inv_d,
+                       far_ref, occ_o):
+    K = buf.shape[1] // TC
+    # occluded lanes prune boxes (-inf beats inside-the-box t_near<0)
+    far = jnp.where(occ_o[:], -jnp.inf, far_ref[:])
+    chm = _chunk_hits(cab_ref, idx, K, ro, inv_d, far)
+
+    @pl.when(jnp.any(chm))
+    def _():
+        dma = pltpu.make_async_copy(rows_hbm.at[idx], buf, sem)
+        dma.start()
+        dma.wait()
+        for kc in range(K):
+            ch_hit = chm[:, kc:kc + 1]
+
+            @pl.when(jnp.any(ch_hit))
+            def _(kc=kc, ch_hit=ch_hit):
+                r = buf[:, kc * TC:(kc + 1) * TC]
+                t, _u, _v = _prim_chunk_test(r, ro, rd)
+                hit = jnp.any((t < far_ref[:]) & ch_hit, axis=1,
+                              keepdims=True)
+                occ_o[:] = occ_o[:] | hit
+
+
 def _closest_kernel(order_ref, ro_ref, rd_ref, far_ref, abt_ref, cab_ref,
                     rows_hbm, t_o, g_o, u_o, v_o, ng_o, ob_o, sph_o, buf,
                     m_ref, sem):
     i = pl.program_id(0)
     C = order_ref.shape[1]
-    CM = buf.shape[1]
-    K = CM // TC
 
     t_o[:] = far_ref[:]
     g_o[:] = jnp.full_like(g_o[:], -1)
@@ -198,35 +323,9 @@ def _closest_kernel(order_ref, ro_ref, rd_ref, far_ref, abt_ref, cab_ref,
 
         @pl.when(_mask_at(m_ref, idx) > 0.0)
         def _():
-            chm = _chunk_hits(cab_ref, idx, K, ro, inv_d, t_o[:])  # (B,K)
-
-            @pl.when(jnp.any(chm))
-            def _():
-                dma = pltpu.make_async_copy(rows_hbm.at[idx], buf, sem)
-                dma.start()
-                dma.wait()
-                for kc in range(K):           # static unroll (K = CM/128)
-                    ch_hit = chm[:, kc:kc + 1]
-
-                    @pl.when(jnp.any(ch_hit))
-                    def _(kc=kc, ch_hit=ch_hit):
-                        r = buf[:, kc * TC:(kc + 1) * TC]       # (24, TC)
-                        t, u, v = _prim_chunk_test(r, ro, rd)   # (B, TC)
-                        bt = jnp.min(t, axis=1, keepdims=True)  # (B, 1)
-                        col = jax.lax.broadcasted_iota(jnp.int32, t.shape,
-                                                       1)
-                        bi = jnp.min(jnp.where(t == bt, col, TC), axis=1,
-                                     keepdims=True)
-                        better = (bt < t_o[:]) & ch_hit
-                        one_hot = col == bi
-
-                        @pl.when(jnp.any(better))
-                        def _():
-                            # ~30% of the brute chunk cost is this winner
-                            # extraction; skip it when no lane improved
-                            _select_winner(r, ro, rd, bt, better, one_hot,
-                                           t_o, g_o, u_o, v_o, ng_o, ob_o,
-                                           sph_o, u, v)
+            _visit_cluster_closest(idx, cab_ref, rows_hbm, buf, sem, ro,
+                                   rd, inv_d, t_o, g_o, u_o, v_o, ng_o,
+                                   ob_o, sph_o)
         return j + 1, done
 
     jax.lax.while_loop(lambda c: (c[0] < C) & jnp.logical_not(c[1]),
@@ -272,8 +371,6 @@ def _any_kernel(order_ref, ro_ref, rd_ref, far_ref, abt_ref, cab_ref,
                 rows_hbm, occ_o, buf, m_ref, sem):
     i = pl.program_id(0)
     C = order_ref.shape[1]
-    CM = buf.shape[1]
-    K = CM // TC
 
     occ_o[:] = jnp.zeros_like(occ_o[:])
 
@@ -299,28 +396,201 @@ def _any_kernel(order_ref, ro_ref, rd_ref, far_ref, abt_ref, cab_ref,
 
         @pl.when(_mask_at(m_ref, idx) > 0.0)
         def _():
-            far = jnp.where(occ_o[:], -jnp.inf, far_ref[:])
-            chm = _chunk_hits(cab_ref, idx, K, ro, inv_d, far)
-
-            @pl.when(jnp.any(chm))
-            def _():
-                dma = pltpu.make_async_copy(rows_hbm.at[idx], buf, sem)
-                dma.start()
-                dma.wait()
-                for kc in range(K):
-                    ch_hit = chm[:, kc:kc + 1]
-
-                    @pl.when(jnp.any(ch_hit))
-                    def _(kc=kc, ch_hit=ch_hit):
-                        r = buf[:, kc * TC:(kc + 1) * TC]
-                        t, _u, _v = _prim_chunk_test(r, ro, rd)
-                        hit = jnp.any((t < far_ref[:]) & ch_hit, axis=1,
-                                      keepdims=True)
-                        occ_o[:] = occ_o[:] | hit
+            _visit_cluster_any(idx, cab_ref, rows_hbm, buf, sem, ro, rd,
+                               inv_d, far_ref, occ_o)
         return j + 1, done
 
     jax.lax.while_loop(lambda c: (c[0] < C) & jnp.logical_not(c[1]),
                        sweep, (jnp.int32(0), jnp.bool_(False)))
+
+
+def _sl_entry(sl_ref, g, j, over):
+    """Cluster index of shortlist entry j (packed int16 pairs in SMEM).
+
+    Overflow groups sweep all C clusters in index order instead; the read
+    is clamped in-bounds (and its value ignored) on that path."""
+    w = sl_ref[g, jnp.minimum(j // 2, SL_WORDS - 1)]
+    half = jnp.where(j % 2 == 0, w & 0xffff, (w >> 16) & 0xffff)
+    return jnp.where(over, j, half)
+
+
+def _closest_sl_kernel(G, cnt_ref, sl_ref, ro_ref, rd_ref, far_ref,
+                       cab_ref, rows_hbm, t_o, wid_o, buf, sem):
+    i = pl.program_id(0)
+    g = i // G
+    C = cab_ref.shape[0] // 8
+    cnt = cnt_ref[0, g]
+    over = cnt > 2 * SL_WORDS
+    n = jnp.where(over, jnp.int32(C), cnt)
+
+    t_o[:] = far_ref[:]
+    wid_o[:] = jnp.full_like(wid_o[:], -1)
+
+    ro = ro_ref[:]                            # (B, 3)
+    rd = rd_ref[:]
+    inv_d = 1.0 / jnp.where(jnp.abs(rd) < 1e-9, 1e-9, rd)
+
+    def sweep(j):
+        idx = _sl_entry(sl_ref, g, j, over)
+        _visit_cluster_deferred(idx, cab_ref, rows_hbm, buf, sem, ro, rd,
+                                inv_d, t_o, wid_o)
+        return j + 1
+
+    jax.lax.while_loop(lambda j: j < n, sweep, jnp.int32(0))
+
+
+def _resolve_winner(scene, wid, t, ro, rd):
+    """(gid, u, v, n_g, obj) of deferred winner ids, outside the kernel.
+
+    One batched gather per field from cl_rows — a single per-lane gather
+    per intersect call (~ms-scale) instead of per-brute-chunk one-hot
+    extraction (measured 300 of 681 ms). The uv / sphere-normal formulas
+    replicate `_prim_chunk_test` / `_select_winner` op-for-op so the
+    results match the in-kernel extraction path bit-for-bit up to FMA
+    rounding. Misses (wid<0) get the standard defaults (-1 ids,
+    n_g=(1,0,0), uv=0)."""
+    C, F, CM = scene.cl_rows.shape
+    flat = scene.cl_rows.reshape(C * F * CM)
+    miss = wid < 0
+    w = jnp.where(miss, 0, wid)
+    base = (w // CM) * (F * CM) + (w % CM)
+
+    def fld(k):
+        return jnp.take(flat, base + k * CM)
+
+    gid = jnp.where(miss, -1, fld(13).astype(jnp.int32))
+    obj = jnp.where(miss, -1, fld(17).astype(jnp.int32))
+    is_sph = fld(12) > 0.5
+    # triangle uv: u = ro·U + t·(rd·U) - cu, same op order as dot3
+    ux, uy, uz, cu = fld(4), fld(5), fld(6), fld(7)
+    vx, vy, vz, cv = fld(8), fld(9), fld(10), fld(11)
+    u_tri = ((ro[:, 0] * ux + ro[:, 1] * uy) + ro[:, 2] * uz) \
+        + t * ((rd[:, 0] * ux + rd[:, 1] * uy) + rd[:, 2] * uz) - cu
+    v_tri = ((ro[:, 0] * vx + ro[:, 1] * vy) + ro[:, 2] * vz) \
+        + t * ((rd[:, 0] * vx + rd[:, 1] * vy) + rd[:, 2] * vz) - cv
+    # sphere: normal from the hit point, uv from the normal
+    # (reference tracer_base.py:226-231 formulas)
+    hx = ro[:, 0] + t * rd[:, 0] - fld(0)
+    hy = ro[:, 1] + t * rd[:, 1] - fld(1)
+    hz = ro[:, 2] + t * rd[:, 2] - fld(2)
+    inv_n = jax.lax.rsqrt(jnp.maximum(hx * hx + hy * hy + hz * hz, 1e-24))
+    nx, ny, nz = hx * inv_n, hy * inv_n, hz * inv_n
+    ngx = jnp.where(is_sph, nx, fld(14))
+    ngy = jnp.where(is_sph, ny, fld(15))
+    ngz = jnp.where(is_sph, nz, fld(16))
+    sph_u = (jnp.arctan2(ngy, ngx) + jnp.pi) / (2.0 * jnp.pi)
+    sph_v = jnp.arccos(jnp.clip(ngz, -1.0, 1.0)) / jnp.pi
+    u = jnp.where(is_sph, sph_u, u_tri)
+    v = jnp.where(is_sph, sph_v, v_tri)
+    u = jnp.where(miss, 0.0, u)
+    v = jnp.where(miss, 0.0, v)
+    n_g = jnp.stack([jnp.where(miss, 1.0, ngx),
+                     jnp.where(miss, 0.0, ngy),
+                     jnp.where(miss, 0.0, ngz)], axis=-1)
+    return gid, u, v, n_g, obj
+
+
+def _any_sl_kernel(G, cnt_ref, sl_ref, ro_ref, rd_ref, far_ref, cab_ref,
+                   rows_hbm, occ_o, buf, sem):
+    i = pl.program_id(0)
+    g = i // G
+    C = cab_ref.shape[0] // 8
+    cnt = cnt_ref[0, g]
+    over = cnt > 2 * SL_WORDS
+    n = jnp.where(over, jnp.int32(C), cnt)
+
+    occ_o[:] = jnp.zeros_like(occ_o[:])
+
+    ro = ro_ref[:]
+    rd = rd_ref[:]
+    inv_d = 1.0 / jnp.where(jnp.abs(rd) < 1e-9, 1e-9, rd)
+
+    def sweep(carry):
+        j, done = carry
+        idx = _sl_entry(sl_ref, g, j, over)
+        _visit_cluster_any(idx, cab_ref, rows_hbm, buf, sem, ro, rd,
+                           inv_d, far_ref, occ_o)
+        # all-occluded early exit; cross-lane reductions are ~us-scale,
+        # so only every 16 steps (dead lanes count as done via far<=0)
+        done = jax.lax.cond(
+            j % 16 == 15,
+            lambda: jnp.all(occ_o[:] | (far_ref[:] <= 0.0)),
+            lambda: done)
+        return j + 1, done
+
+    jax.lax.while_loop(lambda c: (c[0] < n) & jnp.logical_not(c[1]),
+                       sweep, (jnp.int32(0), jnp.bool_(False)))
+
+
+def _tile_shortlists(cl_aabb, ro, rd, far):
+    """Front-to-back per-tile-group cluster shortlists, built with one
+    dense slab pass outside the kernel.
+
+    Returns (counts (1, ng) i32, packed (ng, SL_WORDS) i32 — two int16
+    cluster ids per word, front-to-back — and G, the tiles per group).
+    counts[g] may exceed 2*SL_WORDS: the kernel then ignores the (then
+    truncated) list and sweeps all clusters. Cluster boxes are inflated
+    a few ulp so XLA/Mosaic FMA differences can only ADD candidates
+    relative to the kernel's own chunk slab tests, never drop one."""
+    nt = ro.shape[0] // LANE_B
+    G = -(-nt // SL_MAX_ROWS)
+    ng = -(-nt // G)
+    pad = ng * G * LANE_B - ro.shape[0]
+    if pad:
+        ro = jnp.pad(ro, ((0, pad), (0, 0)))
+        rd = jnp.pad(rd, ((0, pad), (0, 0)), constant_values=1.0)
+        far = jnp.pad(far, ((0, pad), (0, 0)), constant_values=-3e38)
+    GB = G * LANE_B
+    C = cl_aabb.shape[0]
+    ext = jnp.abs(cl_aabb[:, 0:3]) + jnp.abs(cl_aabb[:, 3:6]) + 1.0
+    lo = cl_aabb[:, 0:3] - 1e-6 * ext                    # (C, 3)
+    hi = cl_aabb[:, 3:6] + 1e-6 * ext
+    o = ro.reshape(ng, GB, 3)
+    d = rd.reshape(ng, GB, 3)
+    f = far.reshape(ng, GB, 1)
+    # batch groups so one (gb, GB, C) slab intermediate stays bounded
+    gb = max(1, min(ng, _SL_MAX_ELEMS // max(GB * C, 1)))
+    ngp = -(-ng // gb) * gb
+    if ngp != ng:
+        o = jnp.pad(o, ((0, ngp - ng), (0, 0), (0, 0)))
+        d = jnp.pad(d, ((0, ngp - ng), (0, 0), (0, 0)),
+                    constant_values=1.0)
+        f = jnp.pad(f, ((0, ngp - ng), (0, 0), (0, 0)),
+                    constant_values=-3e38)
+
+    def batch(args):
+        o, d, f = args                       # (gb, GB, 3), (gb, GB, 1)
+        inv = 1.0 / jnp.where(jnp.abs(d) < 1e-9, 1e-9, d)
+        tn = jnp.full((gb, GB, C), -jnp.inf, jnp.float32)
+        tf = jnp.full((gb, GB, C), jnp.inf, jnp.float32)
+        for k in range(3):
+            t1 = (lo[None, None, :, k] - o[:, :, k:k + 1]) \
+                * inv[:, :, k:k + 1]
+            t2 = (hi[None, None, :, k] - o[:, :, k:k + 1]) \
+                * inv[:, :, k:k + 1]
+            tn = jnp.maximum(tn, jnp.minimum(t1, t2))
+            tf = jnp.minimum(tf, jnp.maximum(t1, t2))
+        hit = (tf >= jnp.maximum(tn, 0.0)) & (tn < f)
+        anyhit = jnp.any(hit, axis=1)                        # (gb, C)
+        entry = jnp.min(jnp.where(hit, jnp.maximum(tn, 0.0), jnp.inf),
+                        axis=1)
+        return anyhit, entry
+
+    anyhit, entry = jax.lax.map(
+        batch, (o.reshape(ngp // gb, gb, GB, 3),
+                d.reshape(ngp // gb, gb, GB, 3),
+                f.reshape(ngp // gb, gb, GB, 1)))
+    anyhit = anyhit.reshape(ngp, C)[:ng]
+    entry = entry.reshape(ngp, C)[:ng]
+    counts = jnp.sum(anyhit, axis=1).astype(jnp.int32)       # (ng,)
+    order = jnp.argsort(jnp.where(anyhit, entry, jnp.inf),
+                        axis=1).astype(jnp.int32)            # (ng, C)
+    S = 2 * SL_WORDS
+    if C < S:
+        order = jnp.pad(order, ((0, 0), (0, S - C)))
+    idx = order[:, :S]
+    packed = idx[:, 0::2] | (idx[:, 1::2] << 16)     # (ng, SL_WORDS)
+    return counts.reshape(1, ng), packed, G
 
 
 def _ray_blocks(ray_o, ray_d, far0):
@@ -374,7 +644,7 @@ def _tile_cluster_order(cl_aabb, ro, rd):
 
 
 @functools.lru_cache(maxsize=None)
-def _specs(Np):
+def _specs(Np, shortlist=False):
     grid = (Np // LANE_B,)
     ray = pl.BlockSpec((LANE_B, 3), lambda i, *_: (i, 0),
                        memory_space=pltpu.VMEM)
@@ -387,7 +657,9 @@ def _specs(Np):
                         memory_space=pltpu.VMEM)
     out3 = pl.BlockSpec((LANE_B, 3), lambda i, *_: (i, 0),
                         memory_space=pltpu.VMEM)
-    return grid, [ray, ray, far, ab, ab, rows], out1, out3
+    ins = [ray, ray, far, ab, rows] if shortlist \
+        else [ray, ray, far, ab, ab, rows]
+    return grid, ins, out1, out3
 
 
 def cluster_closest_hit(scene, ray_o, ray_d, far0):
@@ -399,27 +671,50 @@ def cluster_closest_hit(scene, ray_o, ray_d, far0):
     C, F, CM = scene.cl_rows.shape
     Cp = scene.cl_aabb_t.shape[1]
     ro, rd, far, Np = _ray_blocks(ray_o, ray_d, far0)
-    order = _tile_cluster_order(scene.cl_aabb, ro, rd)
-    grid, in_specs, out1, out3 = _specs(Np)
-    t, gid, u, v, ng, obj, sph = pl.pallas_call(
-        _closest_kernel,
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
-            grid=grid,
-            in_specs=in_specs,
-            out_specs=[out1, out1, out1, out1, out3, out1, out1],
-            scratch_shapes=[pltpu.VMEM((F, CM), jnp.float32),
-                            pltpu.VMEM((8, Cp), jnp.float32),
-                            pltpu.SemaphoreType.DMA(())]),
-        out_shape=[jax.ShapeDtypeStruct((Np, 1), jnp.float32),
-                   jax.ShapeDtypeStruct((Np, 1), jnp.int32),
-                   jax.ShapeDtypeStruct((Np, 1), jnp.float32),
-                   jax.ShapeDtypeStruct((Np, 1), jnp.float32),
-                   jax.ShapeDtypeStruct((Np, 3), jnp.float32),
-                   jax.ShapeDtypeStruct((Np, 1), jnp.int32),
-                   jax.ShapeDtypeStruct((Np, 1), jnp.int32)],
-        interpret=_INTERPRET,
-    )(order, ro, rd, far, scene.cl_aabb_t, scene.cl_chunk, scene.cl_rows)
+    out_shape = [jax.ShapeDtypeStruct((Np, 1), jnp.float32),
+                 jax.ShapeDtypeStruct((Np, 1), jnp.int32),
+                 jax.ShapeDtypeStruct((Np, 1), jnp.float32),
+                 jax.ShapeDtypeStruct((Np, 1), jnp.float32),
+                 jax.ShapeDtypeStruct((Np, 3), jnp.float32),
+                 jax.ShapeDtypeStruct((Np, 1), jnp.int32),
+                 jax.ShapeDtypeStruct((Np, 1), jnp.int32)]
+    if SHORTLIST:
+        counts, packed, G = _tile_shortlists(scene.cl_aabb, ro, rd, far)
+        grid, in_specs, out1, out3 = _specs(Np, shortlist=True)
+        t, wid = pl.pallas_call(
+            functools.partial(_closest_sl_kernel, G),
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=2,
+                grid=grid,
+                in_specs=in_specs,
+                out_specs=[out1, out1],
+                scratch_shapes=[pltpu.VMEM((F, CM), jnp.float32),
+                                pltpu.SemaphoreType.DMA(())]),
+            out_shape=[jax.ShapeDtypeStruct((Np, 1), jnp.float32),
+                       jax.ShapeDtypeStruct((Np, 1), jnp.int32)],
+            interpret=_INTERPRET,
+        )(counts, packed, ro, rd, far, scene.cl_chunk, scene.cl_rows)
+        t = t[:N, 0]
+        gid, u, v, ng, obj = _resolve_winner(scene, wid[:N, 0], t,
+                                             ray_o, ray_d)
+        return t, gid, u, v, ng, obj
+    else:
+        order = _tile_cluster_order(scene.cl_aabb, ro, rd)
+        grid, in_specs, out1, out3 = _specs(Np)
+        t, gid, u, v, ng, obj, sph = pl.pallas_call(
+            _closest_kernel,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=grid,
+                in_specs=in_specs,
+                out_specs=[out1, out1, out1, out1, out3, out1, out1],
+                scratch_shapes=[pltpu.VMEM((F, CM), jnp.float32),
+                                pltpu.VMEM((8, Cp), jnp.float32),
+                                pltpu.SemaphoreType.DMA(())]),
+            out_shape=out_shape,
+            interpret=_INTERPRET,
+        )(order, ro, rd, far, scene.cl_aabb_t, scene.cl_chunk,
+          scene.cl_rows)
     ng = ng[:N]
     # spherical uv from the (already final) sphere normal
     # (reference tracer_base.py:226-231 formulas)
@@ -437,6 +732,22 @@ def cluster_any_hit(scene, ray_o, ray_d, far0):
     C, F, CM = scene.cl_rows.shape
     Cp = scene.cl_aabb_t.shape[1]
     ro, rd, far, Np = _ray_blocks(ray_o, ray_d, far0)
+    if SHORTLIST:
+        counts, packed, G = _tile_shortlists(scene.cl_aabb, ro, rd, far)
+        grid, in_specs, out1, _out3 = _specs(Np, shortlist=True)
+        occ = pl.pallas_call(
+            functools.partial(_any_sl_kernel, G),
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=2,
+                grid=grid,
+                in_specs=in_specs,
+                out_specs=out1,
+                scratch_shapes=[pltpu.VMEM((F, CM), jnp.float32),
+                                pltpu.SemaphoreType.DMA(())]),
+            out_shape=jax.ShapeDtypeStruct((Np, 1), jnp.bool_),
+            interpret=_INTERPRET,
+        )(counts, packed, ro, rd, far, scene.cl_chunk, scene.cl_rows)
+        return occ[:N, 0]
     order = _tile_cluster_order(scene.cl_aabb, ro, rd)
     grid, in_specs, out1, _out3 = _specs(Np)
     occ = pl.pallas_call(

@@ -64,7 +64,18 @@ def test_cluster_cut_covers_all_prims(knot):
     assert (got == np.arange(P)).all()
 
 
-def test_cluster_closest_matches_cursor(knot):
+@pytest.fixture(params=[True, False], ids=["shortlist", "legacy"])
+def sweep_mode(request):
+    """Cover both sweep paths: SMEM shortlists (default) and the
+    all-clusters masked sweep (ADAPT_SHORTLIST=0 fallback)."""
+    from adapt_tpu.ops import cluster_pallas
+    old = cluster_pallas.SHORTLIST
+    cluster_pallas.SHORTLIST = request.param
+    yield
+    cluster_pallas.SHORTLIST = old
+
+
+def test_cluster_closest_matches_cursor(knot, sweep_mode):
     scene, cfg = knot
     from adapt_tpu.ops.intersect import ray_intersect
     ro, rd = _rays(scene, cfg, jax.random.PRNGKey(7))
@@ -84,7 +95,7 @@ def test_cluster_closest_matches_cursor(knot):
                                rtol=2e-5, atol=2e-6)
 
 
-def test_cluster_any_hit_matches_cursor(knot):
+def test_cluster_any_hit_matches_cursor(knot, sweep_mode):
     scene, cfg = knot
     from adapt_tpu.ops.intersect import does_intersect
     ro, rd = _rays(scene, cfg, jax.random.PRNGKey(9))
