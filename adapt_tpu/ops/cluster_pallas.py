@@ -102,7 +102,7 @@ REMASK = 32            # sweep steps between box-mask refreshes
 # (probed hard limit 1 MB, minor dim padded to multiples of 128 words)
 SHORTLIST = os.environ.get("ADAPT_SHORTLIST", "1") != "0"
 SL_WORDS = int(os.environ.get("ADAPT_SL_WORDS", "128"))
-SL_MAX_ROWS = 1024
+SL_MAX_ROWS = max(1, (1 << 17) // SL_WORDS)
 # max elements of one (gb, G*B, C) slab intermediate in _tile_shortlists
 _SL_MAX_ELEMS = 1 << 23
 
@@ -591,6 +591,51 @@ def _tile_shortlists(cl_aabb, ro, rd, far):
     idx = order[:, :S]
     packed = idx[:, 0::2] | (idx[:, 1::2] << 16)     # (ng, SL_WORDS)
     return counts.reshape(1, ng), packed, G
+
+
+def primary_cluster_key(scene, ro, rd, far):
+    """Per-ray wavefront sort key: (nearest-entered-cluster id, octant).
+
+    The generic Morton/octant coherence key leaves bounce-ray tiles
+    sweeping a mean 66 of 415 cluster boxes on knot290k, yet each RAY
+    individually enters only ~1.2 (scripts/measure_incidence.py) — so
+    ~98% of brute-chunk lanes belong to rays that cannot hit the cluster
+    being tested. Keying the sort by each ray's front-most entered
+    cluster id packs same-cluster rays into the same LANE_B tile, which
+    collapses the per-tile shortlist toward the per-ray bound and makes
+    most brute lanes useful. Rays entering no box — and dead lanes
+    (far<=0) — key to C and pack last."""
+    C = scene.cl_aabb.shape[0]
+    lo = scene.cl_aabb[:, 0:3]
+    hi = scene.cl_aabb[:, 3:6]
+    N = ro.shape[0]
+    Bb = max(128, min(N, _SL_MAX_ELEMS // max(C, 1)))
+    Np = -(-N // Bb) * Bb
+    o = jnp.pad(ro, ((0, Np - N), (0, 0)))
+    d = jnp.pad(rd, ((0, Np - N), (0, 0)), constant_values=1.0)
+    f = jnp.pad(far, ((0, Np - N),), constant_values=-3e38)
+
+    def blk(args):
+        o, d, f = args
+        inv = 1.0 / jnp.where(jnp.abs(d) < 1e-9, 1e-9, d)
+        tn = jnp.full((Bb, C), -jnp.inf, jnp.float32)
+        tf = jnp.full((Bb, C), jnp.inf, jnp.float32)
+        for k in range(3):
+            t1 = (lo[None, :, k] - o[:, k:k + 1]) * inv[:, k:k + 1]
+            t2 = (hi[None, :, k] - o[:, k:k + 1]) * inv[:, k:k + 1]
+            tn = jnp.maximum(tn, jnp.minimum(t1, t2))
+            tf = jnp.minimum(tf, jnp.maximum(t1, t2))
+        hit = (tf >= jnp.maximum(tn, 0.0)) & (tn < f[:, None])
+        entry = jnp.where(hit, jnp.maximum(tn, 0.0), jnp.inf)
+        cid = jnp.argmin(entry, axis=1).astype(jnp.int32)
+        return jnp.where(jnp.any(hit, axis=1), cid, jnp.int32(C))
+
+    cid = jax.lax.map(blk, (o.reshape(-1, Bb, 3), d.reshape(-1, Bb, 3),
+                            f.reshape(-1, Bb))).reshape(Np)[:N]
+    octant = ((rd[:, 0] > 0).astype(jnp.int32)
+              + 2 * (rd[:, 1] > 0).astype(jnp.int32)
+              + 4 * (rd[:, 2] > 0).astype(jnp.int32))
+    return cid * 8 + octant
 
 
 def _ray_blocks(ray_o, ray_d, far0):

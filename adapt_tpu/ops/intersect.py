@@ -141,13 +141,13 @@ def ray_intersect(scene, cfg, ray_o, ray_d, max_t=None, alive=None):
     TPU, Pallas brute kernel for small scenes on TPU, jnp cursor BVH /
     chunk scan otherwise."""
     if cfg.use_cluster:
-        from .cluster_pallas import cluster_closest_hit
+        from .cluster_pallas import cluster_closest_hit, primary_cluster_key
         N = ray_o.shape[0]
         far0 = jnp.full((N,), FAR, jnp.float32) if max_t is None \
             else jnp.where(max_t > 0.0, max_t - RAY_EPS, FAR)
         if alive is not None:
             far0 = jnp.where(alive, far0, -3e38)
-        key = _coherence_key(scene, ray_o, ray_d, alive)
+        key = primary_cluster_key(scene, ray_o, ray_d, far0)
         ro_s, rd_s, far_s, pos = _sort_by(
             key, [ray_o, ray_d, far0, jnp.arange(N, dtype=jnp.int32)])
         t, gid, u, v, ng, obj = cluster_closest_hit(scene, ro_s, rd_s,
@@ -371,13 +371,13 @@ def does_intersect(scene, cfg, ray_o, ray_d, max_t=None, alive=None):
 
     alive: see ray_intersect — dead lanes return un-occluded."""
     if cfg.use_cluster:
-        from .cluster_pallas import cluster_any_hit
+        from .cluster_pallas import cluster_any_hit, primary_cluster_key
         N = ray_o.shape[0]
         far0 = jnp.full((N,), FAR, jnp.float32) if max_t is None \
             else jnp.where(max_t > 0.0, max_t - RAY_EPS, FAR)
         if alive is not None:
             far0 = jnp.where(alive, far0, -3e38)
-        key = _coherence_key(scene, ray_o, ray_d, alive)
+        key = primary_cluster_key(scene, ray_o, ray_d, far0)
         ro_s, rd_s, far_s, pos = _sort_by(
             key, [ray_o, ray_d, far0, jnp.arange(N, dtype=jnp.int32)])
         occ = cluster_any_hit(scene, ro_s, rd_s, far_s)

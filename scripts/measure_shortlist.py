@@ -18,8 +18,8 @@ def main():
     import numpy as np
     from adapt_tpu.scene.compile import load_scene
     from adapt_tpu.renderer.base import camera_rays
-    from adapt_tpu.ops.intersect import _coherence_key, _sort_by, FAR
-    from adapt_tpu.ops.cluster_pallas import LANE_B
+    from adapt_tpu.ops.intersect import _sort_by, FAR
+    from adapt_tpu.ops.cluster_pallas import LANE_B, primary_cluster_key
 
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     sdir = os.environ.get("SDIR", "cbox")
@@ -41,7 +41,7 @@ def main():
 
     @jax.jit
     def tile_counts(ro, rd, far0):
-        ckey = _coherence_key(scene, ro, rd, None)
+        ckey = primary_cluster_key(scene, ro, rd, far0)
         ro, rd, far = _sort_by(ckey, [ro, rd, far0])
         n = ro.shape[0]
         npad = -(-n // LANE_B) * LANE_B
