@@ -51,8 +51,12 @@ def main():
             hit = (tf >= jnp.maximum(tn, 0.0)) & (tn < FAR)
             return jnp.sum(hit, axis=1)
         B = 4096
+        n = o.shape[0]
+        npad = -(-n // B) * B
+        o = jnp.pad(o, ((0, npad - n), (0, 0)))
+        d = jnp.pad(d, ((0, npad - n), (0, 0)), constant_values=1.0)
         return jax.lax.map(blk, (o.reshape(-1, B, 3),
-                                 d.reshape(-1, B, 3))).reshape(-1)
+                                 d.reshape(-1, B, 3))).reshape(-1)[:n]
 
     for name, o, d in [("primary", ro, rd), ("bounce", o2, d2)]:
         c = np.asarray(per_ray_counts(o, d))
