@@ -68,9 +68,11 @@ bounce-closest baseline 515 ms):
    front-to-back t_near<t_best prune; CM=2048 similar direction.
  * DMA is NOT a cost: stubbing make_async_copy out entirely changes
    nothing (nobrute 500 ms == nodma 497 ms); don't build double-buffering.
- * LANE_B=128: bounce closest improves 1.22x (smaller tiles waste fewer
-   brute lanes) but primaries and any-hits regress 20-45% (double the
-   sweeps) — full 12-bounce render 5.24 vs 4.42 s/spp. Keep 256.
+ * LANE_B=128 pre-shortlist: bounce closest improved 1.22x but the
+   doubled sweeps regressed primaries/any-hits 20-45% (full render 5.24
+   vs 4.42 s/spp). WITH shortlists + the cluster-id ray sort the sweep
+   cost collapsed and B=128 now wins end-to-end (2.87 vs 2.91 s/spp at
+   CM=256) — defaults updated; the old note kept as context.
  * REMASK=16 and G_ORDER=4: both flat within noise — neither mask
    freshness nor order granularity is the binding constraint.
 
@@ -93,7 +95,7 @@ ROW_F = 24             # padded field count (18 used)
 # rays per tile (sublanes of the intermediates); 1024 blew the 16M VMEM
 # budget (~18 live (B,TC) buffers in the prim test). ADAPT_LANE_B re-runs
 # the tile-size experiment without a code edit.
-LANE_B = int(os.environ.get("ADAPT_LANE_B", "256"))
+LANE_B = int(os.environ.get("ADAPT_LANE_B", "128"))
 TC = 128               # prims tested per inner chunk (lanes; 128-aligned)
 G_ORDER = 8            # ray tiles sharing one front-to-back cluster order
 REMASK = 32            # sweep steps between box-mask refreshes
@@ -101,7 +103,7 @@ REMASK = 32            # sweep steps between box-mask refreshes
 # 2*SL_WORDS; table rows capped so the SMEM operand stays ~512 KB
 # (probed hard limit 1 MB, minor dim padded to multiples of 128 words)
 SHORTLIST = os.environ.get("ADAPT_SHORTLIST", "1") != "0"
-SL_WORDS = int(os.environ.get("ADAPT_SL_WORDS", "128"))
+SL_WORDS = int(os.environ.get("ADAPT_SL_WORDS", "256"))
 SL_MAX_ROWS = max(1, (1 << 17) // SL_WORDS)
 # max elements of one (gb, G*B, C) slab intermediate in _tile_shortlists
 _SL_MAX_ELEMS = 1 << 23

@@ -291,12 +291,15 @@ def _cluster_cut(node_pack, rows18, prim_aabb):
     base = node_pack[:, 6].astype(np.int64)
     cnt = node_pack[:, 7].astype(np.int64)
     skip = node_pack[:, 8].astype(np.int64)
-    # CM=1024 measured best end-to-end on the 290k knot: 2048 was killed
-    # by its looser cluster boxes defeating the front-to-back prune and
-    # 4096 measured 3.7x worse (bounce closest 1922 vs 515 ms); the
-    # ADAPT_CM env knob re-runs that experiment without a code edit
+    # CM=256 measured best end-to-end on the 290k knot with the shortlist
+    # sweep + cluster-id ray sort (full 12-bounce render: CM256 2.87,
+    # CM512 3.83, CM1024 3.69, CM128 3.75 s/spp); pre-shortlist, CM=1024
+    # won (tighter lists changed the optimum). 2048/4096 stay dead: loose
+    # boxes defeat the front-to-back prune (bounce closest 1922 vs 515
+    # ms). The ADAPT_CM env knob re-runs the experiment without a code
+    # edit.
     import os
-    cm = int(os.environ.get("ADAPT_CM", "1024")) if P > 16384 else 256
+    cm = int(os.environ.get("ADAPT_CM", "256")) if P > 16384 else 256
     assert cm > 0 and cm % 128 == 0, \
         f"ADAPT_CM must be a positive multiple of 128, got {cm}"
 
