@@ -709,11 +709,45 @@ def _specs(Np, shortlist=False):
     return grid, ins, out1, out3
 
 
+def cluster_closest_raw(scene, ray_o, ray_d, far0):
+    """Shortlist-path closest hit returning only (t (N,), wid (N,) i32).
+
+    wid packs (cluster, chunk, lane) as cluster*CM + chunk*TC + lane
+    (-1 = miss); attributes are recovered by `_resolve_winner`, which is
+    order-independent — callers that sort the wavefront can unsort just
+    these TWO fields (a 3-operand lax.sort instead of 9: the unsort of
+    the full (t,gid,u,v,n_g,obj) record measured ~240 ms at 512^2) and
+    resolve in original ray order."""
+    N = ray_o.shape[0]
+    C, F, CM = scene.cl_rows.shape
+    ro, rd, far, Np = _ray_blocks(ray_o, ray_d, far0)
+    counts, packed, G = _tile_shortlists(scene.cl_aabb, ro, rd, far)
+    grid, in_specs, out1, out3 = _specs(Np, shortlist=True)
+    t, wid = pl.pallas_call(
+        functools.partial(_closest_sl_kernel, G),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=[out1, out1],
+            scratch_shapes=[pltpu.VMEM((F, CM), jnp.float32),
+                            pltpu.SemaphoreType.DMA(())]),
+        out_shape=[jax.ShapeDtypeStruct((Np, 1), jnp.float32),
+                   jax.ShapeDtypeStruct((Np, 1), jnp.int32)],
+        interpret=_INTERPRET,
+    )(counts, packed, ro, rd, far, scene.cl_chunk, scene.cl_rows)
+    return t[:N, 0], wid[:N, 0]
+
+
 def cluster_closest_hit(scene, ray_o, ray_d, far0):
     """Closest hit through the cluster decomposition.
 
     Returns (t, gid, u, v, n_g, obj) — gid/obj = -1, t = far0, n_g=(1,0,0)
     on miss. Float fields match the jnp cursor walk up to FMA rounding."""
+    if SHORTLIST:
+        t, wid = cluster_closest_raw(scene, ray_o, ray_d, far0)
+        gid, u, v, ng, obj = _resolve_winner(scene, wid, t, ray_o, ray_d)
+        return t, gid, u, v, ng, obj
     N = ray_o.shape[0]
     C, F, CM = scene.cl_rows.shape
     Cp = scene.cl_aabb_t.shape[1]
@@ -725,43 +759,22 @@ def cluster_closest_hit(scene, ray_o, ray_d, far0):
                  jax.ShapeDtypeStruct((Np, 3), jnp.float32),
                  jax.ShapeDtypeStruct((Np, 1), jnp.int32),
                  jax.ShapeDtypeStruct((Np, 1), jnp.int32)]
-    if SHORTLIST:
-        counts, packed, G = _tile_shortlists(scene.cl_aabb, ro, rd, far)
-        grid, in_specs, out1, out3 = _specs(Np, shortlist=True)
-        t, wid = pl.pallas_call(
-            functools.partial(_closest_sl_kernel, G),
-            grid_spec=pltpu.PrefetchScalarGridSpec(
-                num_scalar_prefetch=2,
-                grid=grid,
-                in_specs=in_specs,
-                out_specs=[out1, out1],
-                scratch_shapes=[pltpu.VMEM((F, CM), jnp.float32),
-                                pltpu.SemaphoreType.DMA(())]),
-            out_shape=[jax.ShapeDtypeStruct((Np, 1), jnp.float32),
-                       jax.ShapeDtypeStruct((Np, 1), jnp.int32)],
-            interpret=_INTERPRET,
-        )(counts, packed, ro, rd, far, scene.cl_chunk, scene.cl_rows)
-        t = t[:N, 0]
-        gid, u, v, ng, obj = _resolve_winner(scene, wid[:N, 0], t,
-                                             ray_o, ray_d)
-        return t, gid, u, v, ng, obj
-    else:
-        order = _tile_cluster_order(scene.cl_aabb, ro, rd)
-        grid, in_specs, out1, out3 = _specs(Np)
-        t, gid, u, v, ng, obj, sph = pl.pallas_call(
-            _closest_kernel,
-            grid_spec=pltpu.PrefetchScalarGridSpec(
-                num_scalar_prefetch=1,
-                grid=grid,
-                in_specs=in_specs,
-                out_specs=[out1, out1, out1, out1, out3, out1, out1],
-                scratch_shapes=[pltpu.VMEM((F, CM), jnp.float32),
-                                pltpu.VMEM((8, Cp), jnp.float32),
-                                pltpu.SemaphoreType.DMA(())]),
-            out_shape=out_shape,
-            interpret=_INTERPRET,
-        )(order, ro, rd, far, scene.cl_aabb_t, scene.cl_chunk,
-          scene.cl_rows)
+    order = _tile_cluster_order(scene.cl_aabb, ro, rd)
+    grid, in_specs, out1, out3 = _specs(Np)
+    t, gid, u, v, ng, obj, sph = pl.pallas_call(
+        _closest_kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=[out1, out1, out1, out1, out3, out1, out1],
+            scratch_shapes=[pltpu.VMEM((F, CM), jnp.float32),
+                            pltpu.VMEM((8, Cp), jnp.float32),
+                            pltpu.SemaphoreType.DMA(())]),
+        out_shape=out_shape,
+        interpret=_INTERPRET,
+    )(order, ro, rd, far, scene.cl_aabb_t, scene.cl_chunk,
+      scene.cl_rows)
     ng = ng[:N]
     # spherical uv from the (already final) sphere normal
     # (reference tracer_base.py:226-231 formulas)

@@ -50,6 +50,11 @@ class Interaction:
     n_s: jnp.ndarray       # (N,3) shading normal
     uv: jnp.ndarray        # (N,2) local barycentric uv (or sphere angles)
     tex: jnp.ndarray       # (N,3) albedo texture color, -1 = invalid
+    # (N,) i32 id of the intersector cluster containing the hit prim
+    # (cluster tier only; -1 = miss / other tiers; None where a caller
+    # builds synthetic records). Feeds cluster_key_hint so the next
+    # segment's wavefront sort key costs nothing.
+    cid: jnp.ndarray | None = None
 
     @property
     def is_hit(self):
@@ -128,7 +133,8 @@ def _sphere_hit(ray_o, ray_d, center, radius):
     return jnp.where(inside_disc, ray_t, -1.0)
 
 
-def ray_intersect(scene, cfg, ray_o, ray_d, max_t=None, alive=None):
+def ray_intersect(scene, cfg, ray_o, ray_d, max_t=None, alive=None,
+                  key_hint=None):
     """Closest-hit intersection for a ray batch; returns Interaction.
 
     max_t: optional (N,) clip distance (reference min_depth semantics:
@@ -137,27 +143,44 @@ def ray_intersect(scene, cfg, ray_o, ray_d, max_t=None, alive=None):
     inside-a-box slab tests prune them) and sorted to the tail of the
     wavefront, letting the cluster kernel's tile masks skip them entirely;
     renderers pass their terminated-ray mask so late bounces only pay for
-    surviving rays. Dispatch: Pallas cluster intersector for big scenes on
-    TPU, Pallas brute kernel for small scenes on TPU, jnp cursor BVH /
-    chunk scan otherwise."""
+    surviving rays. key_hint: optional (N,) i32 wavefront sort key for
+    the cluster tier (see cluster_key_hint) — replaces the (N, C) slab
+    key pass; any key is valid (it only drives coherence), but dead lanes
+    must key >= 8*C to pack last. Dispatch: Pallas cluster intersector
+    for big scenes on TPU, Pallas brute kernel for small scenes on TPU,
+    jnp cursor BVH / chunk scan otherwise."""
     if cfg.use_cluster:
-        from .cluster_pallas import cluster_closest_hit, primary_cluster_key
+        from . import cluster_pallas as _cp
         N = ray_o.shape[0]
         far0 = jnp.full((N,), FAR, jnp.float32) if max_t is None \
             else jnp.where(max_t > 0.0, max_t - RAY_EPS, FAR)
         if alive is not None:
             far0 = jnp.where(alive, far0, -3e38)
-        key = primary_cluster_key(scene, ray_o, ray_d, far0)
+        key = key_hint if key_hint is not None \
+            else _cp.primary_cluster_key(scene, ray_o, ray_d, far0)
         ro_s, rd_s, far_s, pos = _sort_by(
             key, [ray_o, ray_d, far0, jnp.arange(N, dtype=jnp.int32)])
-        t, gid, u, v, ng, obj = cluster_closest_hit(scene, ro_s, rd_s,
-                                                    far_s)
-        t, gid, u, v, ng, obj = _sort_by(pos, [t, gid, u, v, ng, obj])
+        if _cp.SHORTLIST:
+            # unsort only (t, winner id) — a 3-operand sort instead of
+            # the 9-operand (t,gid,u,v,n_g,obj) unsort (~240 ms at
+            # 512^2); attributes resolve identically in original order
+            # since _resolve_winner is elementwise in (wid, t, o, d).
+            t, wid = _cp.cluster_closest_raw(scene, ro_s, rd_s, far_s)
+            t, wid = _sort_by(pos, [t, wid])
+            gid, u, v, ng, obj = _cp._resolve_winner(scene, wid, t,
+                                                     ray_o, ray_d)
+            cid = jnp.where(wid >= 0, wid // scene.cl_rows.shape[2], -1)
+        else:
+            t, gid, u, v, ng, obj = _cp.cluster_closest_hit(
+                scene, ro_s, rd_s, far_s)
+            t, gid, u, v, ng, obj = _sort_by(pos, [t, gid, u, v, ng, obj])
+            cid = None
         # the kernel already finalized sphere normals/uv and obj ids, so
         # the sphere-override block is skipped (is_sphere_hit = False)
         return _assemble_interaction(scene, cfg, ray_o, ray_d, t, gid, u,
                                      v, jnp.zeros((N,), bool), pre_ng=ng,
-                                     pre_obj=obj, pre_final=True)
+                                     pre_obj=obj, pre_final=True,
+                                     pre_cid=cid)
     if cfg.use_bvh and not cfg.use_pallas:
         from .bvh import traverse
         best_t, best_prim, best_u, best_v = traverse(scene, ray_o, ray_d,
@@ -238,7 +261,7 @@ def ray_intersect(scene, cfg, ray_o, ray_d, max_t=None, alive=None):
 
 def _assemble_interaction(scene, cfg, ray_o, ray_d, best_t, best_prim,
                           best_u, best_v, is_sphere_hit, pre_ng=None,
-                          pre_obj=None, pre_final=False):
+                          pre_obj=None, pre_final=False, pre_cid=None):
     """Build the Interaction record from raw hit data
     (reference tracer_base.py:215-237).
 
@@ -299,6 +322,8 @@ def _assemble_interaction(scene, cfg, ray_o, ray_d, best_t, best_prim,
         n_g=n_g, n_s=n_s,
         uv=jnp.stack([best_u, best_v], axis=-1),
         tex=jnp.full((N, 3), -1.0, jnp.float32),
+        cid=(jnp.full((N,), -1, jnp.int32) if pre_cid is None
+             else pre_cid.astype(jnp.int32)),
     )
 
 
@@ -366,10 +391,39 @@ def _prim_to_obj(scene, prim, is_sphere_hit):
     return tgather(scene.prim_obj, prim)
 
 
-def does_intersect(scene, cfg, ray_o, ray_d, max_t=None, alive=None):
+def cluster_key_hint(scene, cfg, it, ray_d, alive=None):
+    """Free wavefront sort key for the NEXT ray segment, from the current
+    hit's cluster id: (containing cluster, direction octant).
+
+    A ray leaving a surface starts inside its hit prim's cluster box, so
+    that cluster id is (at least) as good a coherence key as the
+    front-most-entered-cluster slab pass primary_cluster_key runs over
+    all C boxes (~75 ms at 512^2 x 1613 on v5e) — and it costs one
+    integer op. Any key is valid (keys only drive the sort); lanes
+    without a cluster id (miss / dead) pack last at 8*C. Returns None
+    when the cluster tier (shortlist path) is not active, letting
+    callers pass the result straight through as key_hint."""
+    if not cfg.use_cluster or it.cid is None:
+        return None
+    from .cluster_pallas import SHORTLIST
+    if not SHORTLIST:
+        return None
+    C = scene.cl_aabb.shape[0]
+    octant = ((ray_d[:, 0] > 0).astype(jnp.int32)
+              + 2 * (ray_d[:, 1] > 0).astype(jnp.int32)
+              + 4 * (ray_d[:, 2] > 0).astype(jnp.int32))
+    ok = it.cid >= 0
+    if alive is not None:
+        ok = ok & alive
+    return jnp.where(ok, it.cid * 8 + octant, 8 * C)
+
+
+def does_intersect(scene, cfg, ray_o, ray_d, max_t=None, alive=None,
+                   key_hint=None):
     """Boolean occlusion test (shadow rays); any hit strictly before max_t.
 
-    alive: see ray_intersect — dead lanes return un-occluded."""
+    alive: see ray_intersect — dead lanes return un-occluded.
+    key_hint: see ray_intersect."""
     if cfg.use_cluster:
         from .cluster_pallas import cluster_any_hit, primary_cluster_key
         N = ray_o.shape[0]
@@ -377,7 +431,8 @@ def does_intersect(scene, cfg, ray_o, ray_d, max_t=None, alive=None):
             else jnp.where(max_t > 0.0, max_t - RAY_EPS, FAR)
         if alive is not None:
             far0 = jnp.where(alive, far0, -3e38)
-        key = primary_cluster_key(scene, ray_o, ray_d, far0)
+        key = key_hint if key_hint is not None \
+            else primary_cluster_key(scene, ray_o, ray_d, far0)
         ro_s, rd_s, far_s, pos = _sort_by(
             key, [ray_o, ray_d, far0, jnp.arange(N, dtype=jnp.int32)])
         occ = cluster_any_hit(scene, ro_s, rd_s, far_s)

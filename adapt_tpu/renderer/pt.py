@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops import bxdf_ops, emitter_ops
-from ..ops.intersect import ray_intersect, does_intersect
+from ..ops.intersect import ray_intersect, does_intersect, cluster_key_hint
 from ..ops.math3d import dot, normalize, norm
 from ..ops.sampling import balance_heuristic
 from ..ops.texture_ops import get_uv_item, process_ns
@@ -153,8 +153,10 @@ def trace_pt(scene, cfg, key, ray_o, ray_d):
             to_emitter = emit_pos - hit_point
             emitter_d = norm(to_emitter)
             light_dir = to_emitter / jnp.maximum(emitter_d[..., None], 1e-12)
-            occluded = does_intersect(scene, cfg, hit_point, light_dir,
-                                      emitter_d, alive=active)
+            occluded = does_intersect(
+                scene, cfg, hit_point, light_dir, emitter_d, alive=active,
+                key_hint=cluster_key_hint(scene, cfg, it, light_dir,
+                                          active))
             direct_spec = bxdf_ops.surface_eval(cfg, mat, it, ray_d,
                                                 light_dir, world_ior)
             if cfg.use_mis:
@@ -189,8 +191,11 @@ def trace_pt(scene, cfg, key, ray_o, ray_d):
             / jnp.maximum(ray_pdf, 1e-9)[..., None]
 
         # --- next hit + emission MIS weight (vanilla_renderer.py:109-117) ---
-        # dead lanes skip the closest-hit sweep entirely (alive culling)
-        new_it = ray_intersect(scene, cfg, hit_point, new_dir, alive=active)
+        # dead lanes skip the closest-hit sweep entirely (alive culling);
+        # the sort key comes free off the current hit's cluster id
+        new_it = ray_intersect(scene, cfg, hit_point, new_dir, alive=active,
+                               key_hint=cluster_key_hint(scene, cfg, it,
+                                                         new_dir, active))
         new_mat = bxdf_ops.gather_mat(scene, new_it.obj_id)
         new_hit_light = _hit_light(new_mat, new_it)
         if cfg.use_mis:

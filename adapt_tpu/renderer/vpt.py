@@ -27,7 +27,7 @@ import jax.numpy as jnp
 
 from ..constants import MediumTag
 from ..ops import bxdf_ops, emitter_ops, medium_ops
-from ..ops.intersect import ray_intersect, Interaction
+from ..ops.intersect import ray_intersect, Interaction, cluster_key_hint
 from ..ops.math3d import dot, normalize, norm
 from ..ops.sampling import balance_heuristic
 from ..ops.texture_ops import get_uv_item, process_ns
@@ -83,14 +83,17 @@ def world_bound_time(scene, ray_o, ray_d):
 
 
 def track_ray(scene, cfg, start_p, ray_d, depth, key=None, thp=None,
-              active=None):
+              active=None, key_hint=None):
     """Transmittance + ior-weighted propagation time along a shadow path
     crossing up to TRACK_STEPS medium interfaces (reference vpt.py:101-137).
 
     Returns (tr (N,3), acc_depth (N,)). tr = 0 where a non-null surface
     blocks the segment. key/thp are required when the scene has a grid
     volume (ratio-tracking transmittance, vpt.py:110-112). active: dead
-    lanes skip all intersection work (their tr/time are unused)."""
+    lanes skip all intersection work (their tr/time are unused).
+    key_hint: wavefront sort key for the no-media fast path (see
+    ops/intersect.cluster_key_hint); the media while-loop re-intersects
+    from moving points, where a first-segment hint would be stale."""
     N = start_p.shape[0]
     w_ior = scene.world_medium.ior[0]
     if not (cfg.world_scattering or cfg.has_null_bsdf or cfg.volume_kind
@@ -98,7 +101,7 @@ def track_ray(scene, cfg, start_p, ray_d, depth, key=None, thp=None,
         # static fast path: no media anywhere -> binary occlusion
         from ..ops.intersect import does_intersect
         occ = does_intersect(scene, cfg, start_p, ray_d, depth,
-                             alive=active)
+                             alive=active, key_hint=key_hint)
         return (jnp.where(occ[..., None], 0.0, 1.0)
                 * jnp.ones((N, 3), jnp.float32)), depth * w_ior
     vol_tr = 1.0
@@ -201,6 +204,7 @@ def trace_vpt(scene, cfg, key, ray_o, ray_d):
 
     init = dict(
         key=key, ray_o=ray_o, ray_d=ray_d,
+        it=ray_intersect(scene, cfg, ray_o, ray_d),
         color=jnp.zeros((N, 3), jnp.float32),
         thp=jnp.ones((N, 3), jnp.float32),
         emission_weight=jnp.ones((N,), jnp.float32),
@@ -227,7 +231,13 @@ def trace_vpt(scene, cfg, key, ray_o, ray_d):
             active &= max_val >= 1e-5
 
         # --- intersect + world-medium fallback (vpt.py:170-181) ---
-        it = ray_intersect(scene, cfg, ray_o, ray_d, alive=active)
+        # the interaction is carried from the previous iteration's
+        # next-segment intersect (one closest-hit per bounce, not two —
+        # the MIS block used to re-trace the same segment). RR-killed
+        # lanes may carry a stale hit instead of a forced miss; every
+        # consumer below is masked by `active`, so only dead-lane
+        # garbage (never radiance) differs.
+        it = st["it"]
         miss = ~it.is_hit
         if media_everywhere:
             wb = world_bound_time(scene, ray_o, ray_d)
@@ -295,7 +305,9 @@ def trace_vpt(scene, cfg, key, ray_o, ray_d):
             l_dir = to_e / jnp.maximum(e_d[..., None], 1e-12)
             key, k_tr = jax.random.split(key)
             tr, _t = track_ray(scene, cfg, hit_point, l_dir, e_d,
-                               key=k_tr, thp=thp, active=active)
+                               key=k_tr, thp=thp, active=active,
+                               key_hint=cluster_key_hint(scene, cfg, it,
+                                                         l_dir, active))
             shadow_int = shadow_int * tr
             # eval: phase value for medium events, BxDF for surface
             ph_val = medium_ops.phase_eval(rows["kind"], rows["ph_par"],
@@ -352,10 +364,12 @@ def trace_vpt(scene, cfg, key, ray_o, ray_d):
         active &= ~(shade & dead)
         active &= bounce < cfg.max_bounce
 
+        # --- next-segment intersect, reused as next iteration's `it` ---
+        it_n = ray_intersect(scene, cfg, hit_point, out_dir, alive=active,
+                             key_hint=cluster_key_hint(scene, cfg, it,
+                                                       out_dir, active))
         # --- emission MIS weight from the NEXT hit (vanilla:109-117) ---
         if cfg.use_mis:
-            it_n = ray_intersect(scene, cfg, hit_point, out_dir,
-                                 alive=active)
             mat_n = bxdf_ops.gather_mat(scene, it_n.obj_id)
             nl = jnp.where(it_n.obj_id >= 0, mat_n.emit, -1)
             n_delta = mat_n.is_delta
@@ -369,9 +383,9 @@ def trace_vpt(scene, cfg, key, ray_o, ray_d):
         else:
             emission_weight = st["emission_weight"]
 
-        return dict(key=key, ray_o=hit_point, ray_d=out_dir, color=color,
-                    thp=thp, emission_weight=emission_weight, active=active,
-                    bounce=bounce)
+        return dict(key=key, ray_o=hit_point, ray_d=out_dir, it=it_n,
+                    color=color, thp=thp, emission_weight=emission_weight,
+                    active=active, bounce=bounce)
 
     iters = cfg.max_bounce + (NULL_BUDGET if (cfg.has_null_bsdf
                                               or media_everywhere) else 0)
