@@ -444,21 +444,20 @@ def _closest_sl_kernel(G, cnt_ref, sl_ref, ro_ref, rd_ref, far_ref,
 def _resolve_winner(scene, wid, t, ro, rd):
     """(gid, u, v, n_g, obj) of deferred winner ids, outside the kernel.
 
-    One batched gather per field from cl_rows — a single per-lane gather
-    per intersect call (~ms-scale) instead of per-brute-chunk one-hot
-    extraction (measured 300 of 681 ms). The uv / sphere-normal formulas
-    replicate `_prim_chunk_test` / `_select_winner` op-for-op so the
-    results match the in-kernel extraction path bit-for-bit up to FMA
-    rounding. Misses (wid<0) get the standard defaults (-1 ids,
-    n_g=(1,0,0), uv=0)."""
-    C, F, CM = scene.cl_rows.shape
-    flat = scene.cl_rows.reshape(C * F * CM)
+    ONE contiguous (N, 24) row-gather from the prim-major table copy
+    `cl_rows_pm` instead of per-brute-chunk one-hot extraction in the
+    kernel (measured 300 of 681 ms) or 16 scattered scalar gathers off
+    the field-major cl_rows (measured 37.6 ms/bounce — 17% of the
+    knot290k render). The uv / sphere-normal formulas replicate
+    `_prim_chunk_test` / `_select_winner` op-for-op so the results match
+    the in-kernel extraction path bit-for-bit up to FMA rounding. Misses
+    (wid<0) get the standard defaults (-1 ids, n_g=(1,0,0), uv=0)."""
     miss = wid < 0
     w = jnp.where(miss, 0, wid)
-    base = (w // CM) * (F * CM) + (w % CM)
+    rows = jnp.take(scene.cl_rows_pm, w, axis=0)       # (N, 24)
 
     def fld(k):
-        return jnp.take(flat, base + k * CM)
+        return rows[:, k]
 
     gid = jnp.where(miss, -1, fld(13).astype(jnp.int32))
     obj = jnp.where(miss, -1, fld(17).astype(jnp.int32))

@@ -21,11 +21,27 @@ def main():
     key = jax.random.PRNGKey(0)
     N = 512 * 512
     k1, k2 = jax.random.split(key)
-    lo = jnp.min(scene.obj_aabb_min, axis=0)
-    hi = jnp.max(scene.obj_aabb_max, axis=0)
-    o2 = jax.random.uniform(k1, (N, 3)) * (hi - lo) + lo
-    d2 = jax.random.normal(k2, (N, 3))
-    d2 = d2 / jnp.linalg.norm(d2, axis=-1, keepdims=True)
+    if os.environ.get("REAL_BOUNCE", "1") != "0":
+        # realistic bounce rays: origins on scene surfaces (camera hit
+        # points), cosine-ish random continuation directions — random
+        # box-interior rays over-weight empty space and mislead (the
+        # full-render profile showed a very different cost mix)
+        from adapt_tpu.renderer.base import camera_rays
+        ro, rd = camera_rays(scene, cfg, k1, jnp.int32(0))
+        it = ray_intersect(scene, cfg, ro, rd)
+        hit_p = ro + it.t[:, None] * rd
+        d2 = jax.random.normal(k2, (N, 3))
+        d2 = d2 / jnp.linalg.norm(d2, axis=-1, keepdims=True)
+        flip = jnp.sum(d2 * it.n_g, axis=-1) < 0.0
+        d2 = jnp.where(flip[:, None], -d2, d2)
+        o2 = jnp.where(it.is_hit[:, None], hit_p, ro)
+    else:
+        lo = jnp.min(scene.obj_aabb_min, axis=0)
+        hi = jnp.max(scene.obj_aabb_max, axis=0)
+        o2 = jax.random.uniform(k1, (N, 3)) * (hi - lo) + lo
+        d2 = jax.random.normal(k2, (N, 3))
+        d2 = d2 / jnp.linalg.norm(d2, axis=-1, keepdims=True)
+    o2, d2 = jax.block_until_ready((o2, d2))
 
     def timed(fn, reps=7):
         ts = []
