@@ -42,9 +42,13 @@ vregs:
     chunks are contiguous DFS runs) gates the DMA and each brute chunk.
     (The shortlist path keeps exactly this phase.)
 
-Only on a chunk hit is the cluster's prim block DMA'd into VMEM scratch
-and brute-force tested with the same exact-f32 VPU plane/dual-basis test
-as ops/intersect_pallas.py.
+Shortlist visits are GATELESS (r2): every listed cluster's prim block is
+DMA'd into VMEM scratch and brute-force tested fused (same exact-f32 VPU
+plane/dual-basis test as ops/intersect_pallas.py); the former per-chunk
+(B,K) slab gates + pl.when branches measured more expensive than the
+brute work they skipped (ablation numbers in _visit_cluster_deferred).
+The legacy all-cluster sweep keeps its chunk gates — they are what makes
+sweeping all C clusters affordable there.
 
 Layout: prim blocks are (F=24, CM) — fields on sublanes, prims on lanes —
 so DMA slices stay 128-aligned and rays ride their natural (N,3) layout
@@ -221,47 +225,57 @@ def _visit_cluster_closest(idx, cab_ref, rows_hbm, buf, sem, ro, rd, inv_d,
 
 def _visit_cluster_deferred(idx, cab_ref, rows_hbm, buf, sem, ro, rd,
                             inv_d, t_o, wid_o):
-    """Closest-hit visit that records only (t, winner id); attribute
-    extraction is deferred to `_resolve_winner` outside the kernel.
+    """GATELESS closest-hit visit: DMA the cluster block and brute-test
+    all its prims fused, recording only (t, winner id) per lane;
+    attribute extraction is deferred to `_resolve_winner` outside the
+    kernel (in-kernel one-hot extraction measured 300 of 681 ms).
 
-    In-kernel one-hot field extraction (`_select_winner`) measured 300 ms
-    of the 681 ms knot290k bounce-closest pass (scripts/ablate_cluster.py)
-    because it fires on nearly every brute chunk; carrying a packed
-    winner id instead costs two (B,1) where-updates."""
-    K = buf.shape[1] // TC
+    Measured on realistic bounce rays (knot290k, CM=256,
+    scripts/ablate_cluster.py): the former per-chunk (B,K=2) slab gates
+    + their pl.when branches cost MORE than the brute tests they skip —
+    base 349 ms vs no_chunk_gate 260 ms; slab passes 145 ms vs brute 92
+    ms. (B,2)-shaped ops waste 126/128 VPU lanes and cross-lane any()
+    reductions are branch-priced. Correctness never needed the gate: an
+    accepted hit has bt < t_o, which implies the ray entered the chunk
+    box before t_o. Brute width is capped at 512 lanes so the ~19 live
+    (B, BR) intermediates stay under the VMEM budget at large CM."""
     CM = buf.shape[1]
     if "sweep_only" in _ABLATE:
         t_o[:] = jnp.minimum(t_o[:], jnp.float32(1e6) + idx)
         return
-    chm = _chunk_hits(cab_ref, idx, K, ro, inv_d, t_o[:])        # (B, K)
-    if "slab_only" in _ABLATE:
-        chm = chm & (t_o[:] < -1e30)
+    if "no_dma" not in _ABLATE:
+        dma = pltpu.make_async_copy(rows_hbm.at[idx], buf, sem)
+        dma.start()
+        dma.wait()
+    BR = min(CM, 512)
+    for kc in range(CM // BR):            # static unroll
+        r = buf[:, kc * BR:(kc + 1) * BR]            # (24, BR)
+        t, _u, _v = _prim_chunk_test(r, ro, rd)      # (B, BR)
+        bt = jnp.min(t, axis=1, keepdims=True)       # (B, 1)
+        col = jax.lax.broadcasted_iota(jnp.int32, t.shape, 1)
+        bi = jnp.min(jnp.where(t == bt, col, BR), axis=1, keepdims=True)
+        better = bt < t_o[:]
+        t_o[:] = jnp.where(better, bt, t_o[:])
+        wid_o[:] = jnp.where(better, idx * CM + kc * BR + bi, wid_o[:])
 
-    @pl.when(jnp.any(chm))
-    def _():
-        if "no_dma" not in _ABLATE:
-            dma = pltpu.make_async_copy(rows_hbm.at[idx], buf, sem)
-            dma.start()
-            dma.wait()
-        for kc in range(K):               # static unroll (K = CM/128)
-            ch_hit = chm[:, kc:kc + 1]
 
-            def body(kc=kc, ch_hit=ch_hit):
-                r = buf[:, kc * TC:(kc + 1) * TC]       # (24, TC)
-                t, _u, _v = _prim_chunk_test(r, ro, rd)  # (B, TC)
-                bt = jnp.min(t, axis=1, keepdims=True)   # (B, 1)
-                col = jax.lax.broadcasted_iota(jnp.int32, t.shape, 1)
-                bi = jnp.min(jnp.where(t == bt, col, TC), axis=1,
-                             keepdims=True)
-                better = (bt < t_o[:]) & ch_hit
-                t_o[:] = jnp.where(better, bt, t_o[:])
-                wid_o[:] = jnp.where(better, idx * CM + kc * TC + bi,
-                                     wid_o[:])
-
-            if "no_chunk_gate" in _ABLATE:
-                body()
-            else:
-                pl.when(jnp.any(ch_hit))(body)
+def _visit_cluster_any_gateless(idx, rows_hbm, buf, sem, ro, rd, far_ref,
+                                occ_o):
+    """Gateless any-hit visit for the shortlist sweep (same measured
+    rationale as `_visit_cluster_deferred`: chunk slab gates + branches
+    cost more than unconditional brute at CM=256). Occluded lanes simply
+    re-detect hits (occ_o is monotone under |=); the all-occluded early
+    exit lives in the sweep loop."""
+    CM = buf.shape[1]
+    dma = pltpu.make_async_copy(rows_hbm.at[idx], buf, sem)
+    dma.start()
+    dma.wait()
+    BR = min(CM, 512)
+    for kc in range(CM // BR):
+        r = buf[:, kc * BR:(kc + 1) * BR]
+        t, _u, _v = _prim_chunk_test(r, ro, rd)
+        occ_o[:] = occ_o[:] | jnp.any(t < far_ref[:], axis=1,
+                                      keepdims=True)
 
 
 def _visit_cluster_any(idx, cab_ref, rows_hbm, buf, sem, ro, rd, inv_d,
@@ -509,8 +523,8 @@ def _any_sl_kernel(G, cnt_ref, sl_ref, ro_ref, rd_ref, far_ref, cab_ref,
     def sweep(carry):
         j, done = carry
         idx = _sl_entry(sl_ref, g, j, over)
-        _visit_cluster_any(idx, cab_ref, rows_hbm, buf, sem, ro, rd,
-                           inv_d, far_ref, occ_o)
+        _visit_cluster_any_gateless(idx, rows_hbm, buf, sem, ro, rd,
+                                    far_ref, occ_o)
         # all-occluded early exit; cross-lane reductions are ~us-scale,
         # so only every 16 steps (dead lanes count as done via far<=0)
         done = jax.lax.cond(

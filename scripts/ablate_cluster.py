@@ -53,8 +53,9 @@ def main():
         ts.sort()
         return ts[len(ts) // 2]
 
-    variants = [set(), {"sweep_only"}, {"slab_only"}, {"no_chunk_gate"},
-                {"no_dma"}]
+    # slab_only / no_chunk_gate retired with the gateless visit redesign
+    # (no chunk slabs left to ablate)
+    variants = [set(), {"sweep_only"}, {"no_dma"}]
     for v in variants:
         cp._ABLATE = v
         fn = jax.jit(lambda o, d, _v=tuple(sorted(v)):
