@@ -42,13 +42,15 @@ vregs:
     chunks are contiguous DFS runs) gates the DMA and each brute chunk.
     (The shortlist path keeps exactly this phase.)
 
-Shortlist visits are GATELESS (r2): every listed cluster's prim block is
-DMA'd into VMEM scratch and brute-force tested fused (same exact-f32 VPU
-plane/dual-basis test as ops/intersect_pallas.py); the former per-chunk
-(B,K) slab gates + pl.when branches measured more expensive than the
-brute work they skipped (ablation numbers in _visit_cluster_deferred).
-The legacy all-cluster sweep keeps its chunk gates — they are what makes
-sweeping all C clusters affordable there.
+LISTED shortlist visits are GATELESS (r2): every listed cluster's prim
+block is DMA'd into VMEM scratch and brute-force tested fused (same
+exact-f32 VPU plane/dual-basis test as ops/intersect_pallas.py); the
+former per-chunk (B,K) slab gates + pl.when branches measured more
+expensive than the brute work they skipped (ablation numbers in
+_visit_cluster_deferred). OVERFLOW sweeps (all C clusters, index order)
+stay chunk-gated — there almost every gate fails, so each skipped
+DMA+brute block pays for hundreds of slab tests; the legacy all-cluster
+sweep keeps its gates for the same reason.
 
 Layout: prim blocks are (F=24, CM) — fields on sublanes, prims on lanes —
 so DMA slices stay 128-aligned and rays ride their natural (N,3) layout
@@ -259,6 +261,43 @@ def _visit_cluster_deferred(idx, cab_ref, rows_hbm, buf, sem, ro, rd,
         wid_o[:] = jnp.where(better, idx * CM + kc * BR + bi, wid_o[:])
 
 
+def _visit_cluster_deferred_gated(idx, cab_ref, rows_hbm, buf, sem, ro,
+                                  rd, inv_d, t_o, wid_o):
+    """Chunk-gated variant of `_visit_cluster_deferred` for OVERFLOW
+    tile-groups (shortlist longer than S entries), which sweep all C
+    clusters in index order. There the gate maths flips: a listed sweep
+    visits ~8-100 clusters that some ray provably enters (gates mostly
+    pass -> pure overhead), while an overflow sweep visits every cluster
+    in the scene and almost all gates fail -> each skipped DMA + brute
+    block pays for hundreds of (B,K) slab tests. Accepted hits satisfy
+    bt < t_o which implies the chunk box was entered before t_o, so
+    gating never drops a winner (same argument as the legacy tier)."""
+    K = buf.shape[1] // TC
+    chm = _chunk_hits(cab_ref, idx, K, ro, inv_d, t_o[:])    # (B, K)
+
+    @pl.when(jnp.any(chm))
+    def _():
+        CM = buf.shape[1]
+        dma = pltpu.make_async_copy(rows_hbm.at[idx], buf, sem)
+        dma.start()
+        dma.wait()
+        for kc in range(K):               # static unroll (K = CM/128)
+            ch_hit = chm[:, kc:kc + 1]
+
+            @pl.when(jnp.any(ch_hit))
+            def _(kc=kc, ch_hit=ch_hit):
+                r = buf[:, kc * TC:(kc + 1) * TC]       # (24, TC)
+                t, _u, _v = _prim_chunk_test(r, ro, rd)
+                bt = jnp.min(t, axis=1, keepdims=True)
+                col = jax.lax.broadcasted_iota(jnp.int32, t.shape, 1)
+                bi = jnp.min(jnp.where(t == bt, col, TC), axis=1,
+                             keepdims=True)
+                better = bt < t_o[:]
+                t_o[:] = jnp.where(better, bt, t_o[:])
+                wid_o[:] = jnp.where(better, idx * CM + kc * TC + bi,
+                                     wid_o[:])
+
+
 def _visit_cluster_any_gateless(idx, rows_hbm, buf, sem, ro, rd, far_ref,
                                 occ_o):
     """Gateless any-hit visit for the shortlist sweep (same measured
@@ -448,8 +487,16 @@ def _closest_sl_kernel(G, cnt_ref, sl_ref, ro_ref, rd_ref, far_ref,
 
     def sweep(j):
         idx = _sl_entry(sl_ref, g, j, over)
-        _visit_cluster_deferred(idx, cab_ref, rows_hbm, buf, sem, ro, rd,
-                                inv_d, t_o, wid_o)
+
+        @pl.when(jnp.logical_not(over))
+        def _():
+            _visit_cluster_deferred(idx, cab_ref, rows_hbm, buf, sem, ro,
+                                    rd, inv_d, t_o, wid_o)
+
+        @pl.when(over)
+        def _():
+            _visit_cluster_deferred_gated(idx, cab_ref, rows_hbm, buf,
+                                          sem, ro, rd, inv_d, t_o, wid_o)
         return j + 1
 
     jax.lax.while_loop(lambda j: j < n, sweep, jnp.int32(0))
@@ -523,8 +570,19 @@ def _any_sl_kernel(G, cnt_ref, sl_ref, ro_ref, rd_ref, far_ref, cab_ref,
     def sweep(carry):
         j, done = carry
         idx = _sl_entry(sl_ref, g, j, over)
-        _visit_cluster_any_gateless(idx, rows_hbm, buf, sem, ro, rd,
-                                    far_ref, occ_o)
+
+        @pl.when(jnp.logical_not(over))
+        def _():
+            _visit_cluster_any_gateless(idx, rows_hbm, buf, sem, ro, rd,
+                                        far_ref, occ_o)
+
+        @pl.when(over)
+        def _():
+            # overflow sweeps all C clusters: chunk-gate each visit
+            # (same rationale as _visit_cluster_deferred_gated)
+            _visit_cluster_any(idx, cab_ref, rows_hbm, buf, sem, ro, rd,
+                               inv_d, far_ref, occ_o)
+
         # all-occluded early exit; cross-lane reductions are ~us-scale,
         # so only every 16 steps (dead lanes count as done via far<=0)
         done = jax.lax.cond(

@@ -109,6 +109,37 @@ def test_cluster_any_hit_matches_cursor(knot, sweep_mode):
         assert (np.asarray(got) == np.asarray(ref)).all()
 
 
+def test_cluster_shortlist_overflow_fallback(knot):
+    """Groups whose shortlist exceeds S=2*SL_WORDS entries take the
+    chunk-gated all-cluster overflow sweep. Force S tiny so every group
+    overflows and check both kernels still match the cursor walk."""
+    scene, cfg = knot
+    from adapt_tpu.ops import cluster_pallas as cp
+    from adapt_tpu.ops.intersect import ray_intersect, does_intersect
+    ro, rd = _rays(scene, cfg, jax.random.PRNGKey(13))
+    old = cp.SL_WORDS
+    cp.SL_WORDS = 1                       # S = 2 entries
+    try:
+        rob, rdb, far, _ = cp._ray_blocks(
+            ro, rd, jnp.full((ro.shape[0],), cp.FAR, jnp.float32))
+        counts, _, _ = cp._tile_shortlists(scene.cl_aabb, rob, rdb, far)
+        assert (np.asarray(counts) > 2 * cp.SL_WORDS).any()   # really over
+        ref = ray_intersect(
+            scene, dataclasses.replace(cfg, use_cluster=False), ro, rd)
+        got = ray_intersect(
+            scene, dataclasses.replace(cfg, use_cluster=True), ro, rd)
+        assert (np.asarray(got.prim_id) == np.asarray(ref.prim_id)).all()
+        np.testing.assert_allclose(np.asarray(got.t), np.asarray(ref.t),
+                                   rtol=2e-6)
+        occ_ref = does_intersect(
+            scene, dataclasses.replace(cfg, use_cluster=False), ro, rd)
+        occ = does_intersect(
+            scene, dataclasses.replace(cfg, use_cluster=True), ro, rd)
+        assert (np.asarray(occ) == np.asarray(occ_ref)).all()
+    finally:
+        cp.SL_WORDS = old
+
+
 def test_cluster_alive_culling(knot):
     """alive=False lanes are forced misses; alive lanes match the cursor
     walk exactly (the culled wavefront is re-sorted, so this also covers
