@@ -18,10 +18,13 @@ sweeps ONLY the listed candidates — measured knot290k: primary rays hit
 a mean 7.6 / max 37 of 415 cluster boxes per 256-ray tile, bounce rays
 66 / 287, so the sweep shrinks 6-55x vs all-C. Each sweep step then costs
 one SMEM scalar read + one (B, K) chunk-AABB slab + one any() gate —
-none of the per-step mask machinery below. Tiles whose list overflows
-S=2*SL_WORDS entries (<=1% of bounce tiles) fall back to a chunk-gated
-sweep of all C clusters in index order (exact; order only affects the
-t_near < t_best prune). SMEM budget (probed: hard 1 MB, minor dim padded
+none of the per-step mask machinery below. The sorted order also gives
+the sweep its early exit: a per-block SMEM table of listed entry
+distances (eblk) lets the kernel stop once no remaining cluster can
+enter before the worst lane's t_best (closest) or any unoccluded lane's
+light distance (any-hit). Tiles whose list overflows S=2*SL_WORDS
+entries (<=1% of bounce tiles) fall back to a chunk-gated sweep of all
+C clusters in index order (exact; order only affects the pruning). SMEM budget (probed: hard 1 MB, minor dim padded
 to 128 words): table rows are capped at SL_MAX_ROWS, tiles share a list
 in groups of G = ceil(n_tiles / SL_MAX_ROWS).
 
@@ -111,6 +114,10 @@ REMASK = 32            # sweep steps between box-mask refreshes
 SHORTLIST = os.environ.get("ADAPT_SHORTLIST", "1") != "0"
 SL_WORDS = int(os.environ.get("ADAPT_SL_WORDS", "256"))
 SL_MAX_ROWS = max(1, (1 << 17) // SL_WORDS)
+# sweep early-exit granularity: entry-distance thresholds are kept for
+# every EB_E'th listed cluster (one f32 SMEM scalar each; the minor dim
+# pads to 128 words anyway, so S/EB_E = 128 is free at the defaults)
+EB_E = int(os.environ.get("ADAPT_EB_E", "4"))
 # max elements of one (gb, G*B, C) slab intermediate in _tile_shortlists
 _SL_MAX_ELEMS = 1 << 23
 
@@ -469,8 +476,8 @@ def _sl_entry(sl_ref, g, j, over):
     return jnp.where(over, j, half)
 
 
-def _closest_sl_kernel(G, cnt_ref, sl_ref, ro_ref, rd_ref, far_ref,
-                       cab_ref, rows_hbm, t_o, wid_o, buf, sem):
+def _closest_sl_kernel(G, cnt_ref, sl_ref, eblk_ref, ro_ref, rd_ref,
+                       far_ref, cab_ref, rows_hbm, t_o, wid_o, buf, sem):
     i = pl.program_id(0)
     g = i // G
     C = cab_ref.shape[0] // 8
@@ -485,7 +492,8 @@ def _closest_sl_kernel(G, cnt_ref, sl_ref, ro_ref, rd_ref, far_ref,
     rd = rd_ref[:]
     inv_d = 1.0 / jnp.where(jnp.abs(rd) < 1e-9, 1e-9, rd)
 
-    def sweep(j):
+    def sweep(carry):
+        j, done = carry
         idx = _sl_entry(sl_ref, g, j, over)
 
         @pl.when(jnp.logical_not(over))
@@ -497,9 +505,24 @@ def _closest_sl_kernel(G, cnt_ref, sl_ref, ro_ref, rd_ref, far_ref,
         def _():
             _visit_cluster_deferred_gated(idx, cab_ref, rows_hbm, buf,
                                           sem, ro, rd, inv_d, t_o, wid_o)
-        return j + 1
 
-    jax.lax.while_loop(lambda j: j < n, sweep, jnp.int32(0))
+        # front-to-back early exit at block boundaries: remaining listed
+        # clusters all have entry >= eblk[nj/EB_E] (the list is sorted by
+        # the same inflated-box entry), and any prim hit inside a cluster
+        # satisfies t >= its entry, so nothing can beat a lane whose
+        # t_best is already below the threshold. Cross-lane max is
+        # branch-priced (~us) — only at EB_E cadence. Dead lanes carry
+        # t_o = -3e38 and never block the max. Overflow groups sweep in
+        # index order, where the thresholds don't apply.
+        nj = j + 1
+        done = jax.lax.cond(
+            (nj % EB_E == 0) & (nj < n) & jnp.logical_not(over),
+            lambda: eblk_ref[g, nj // EB_E] >= jnp.max(t_o[:]),
+            lambda: done)
+        return nj, done
+
+    jax.lax.while_loop(lambda c: (c[0] < n) & jnp.logical_not(c[1]),
+                       sweep, (jnp.int32(0), jnp.bool_(False)))
 
 
 def _resolve_winner(scene, wid, t, ro, rd):
@@ -552,8 +575,8 @@ def _resolve_winner(scene, wid, t, ro, rd):
     return gid, u, v, n_g, obj
 
 
-def _any_sl_kernel(G, cnt_ref, sl_ref, ro_ref, rd_ref, far_ref, cab_ref,
-                   rows_hbm, occ_o, buf, sem):
+def _any_sl_kernel(G, cnt_ref, sl_ref, eblk_ref, ro_ref, rd_ref, far_ref,
+                   cab_ref, rows_hbm, occ_o, buf, sem):
     i = pl.program_id(0)
     g = i // G
     C = cab_ref.shape[0] // 8
@@ -583,13 +606,22 @@ def _any_sl_kernel(G, cnt_ref, sl_ref, ro_ref, rd_ref, far_ref, cab_ref,
             _visit_cluster_any(idx, cab_ref, rows_hbm, buf, sem, ro, rd,
                                inv_d, far_ref, occ_o)
 
-        # all-occluded early exit; cross-lane reductions are ~us-scale,
-        # so only every 16 steps (dead lanes count as done via far<=0)
+        # early exit at block boundaries (cross-lane reductions are
+        # branch-priced, so only at EB_E cadence): a lane is settled
+        # once occluded or dead (far<=0), and — the shadow-ray win —
+        # once the next block's entry distance reaches its far (any
+        # remaining hit would land at t >= entry >= far: beyond the
+        # light). Overflow groups only use the all-settled half.
+        nj = j + 1
         done = jax.lax.cond(
-            j % 16 == 15,
-            lambda: jnp.all(occ_o[:] | (far_ref[:] <= 0.0)),
+            nj % EB_E == 0,
+            lambda: jnp.all(
+                occ_o[:] | (far_ref[:] <= jax.lax.cond(
+                    (nj < n) & jnp.logical_not(over),
+                    lambda: eblk_ref[g, nj // EB_E],
+                    lambda: jnp.float32(0.0)))),
             lambda: done)
-        return j + 1, done
+        return nj, done
 
     jax.lax.while_loop(lambda c: (c[0] < n) & jnp.logical_not(c[1]),
                        sweep, (jnp.int32(0), jnp.bool_(False)))
@@ -600,11 +632,15 @@ def _tile_shortlists(cl_aabb, ro, rd, far):
     dense slab pass outside the kernel.
 
     Returns (counts (1, ng) i32, packed (ng, SL_WORDS) i32 — two int16
-    cluster ids per word, front-to-back — and G, the tiles per group).
+    cluster ids per word, front-to-back —, eblk (ng, S/EB_E) f32 — the
+    entry distance of every EB_E'th listed cluster, the sweep's
+    early-exit thresholds — and G, the tiles per group).
     counts[g] may exceed 2*SL_WORDS: the kernel then ignores the (then
     truncated) list and sweeps all clusters. Cluster boxes are inflated
     a few ulp so XLA/Mosaic FMA differences can only ADD candidates
-    relative to the kernel's own chunk slab tests, never drop one."""
+    relative to the kernel's own chunk slab tests, never drop one — and
+    so eblk entry distances are safe LOWER bounds on any representable
+    prim-hit t inside the listed cluster."""
     nt = ro.shape[0] // LANE_B
     G = -(-nt // SL_MAX_ROWS)
     ng = -(-nt // G)
@@ -656,14 +692,18 @@ def _tile_shortlists(cl_aabb, ro, rd, far):
     anyhit = anyhit.reshape(ngp, C)[:ng]
     entry = entry.reshape(ngp, C)[:ng]
     counts = jnp.sum(anyhit, axis=1).astype(jnp.int32)       # (ng,)
-    order = jnp.argsort(jnp.where(anyhit, entry, jnp.inf),
-                        axis=1).astype(jnp.int32)            # (ng, C)
+    keyed = jnp.where(anyhit, entry, jnp.inf)
+    order = jnp.argsort(keyed, axis=1).astype(jnp.int32)     # (ng, C)
+    sorted_e = jnp.sort(keyed, axis=1)                       # (ng, C)
     S = 2 * SL_WORDS
     if C < S:
         order = jnp.pad(order, ((0, 0), (0, S - C)))
+        sorted_e = jnp.pad(sorted_e, ((0, 0), (0, S - C)),
+                           constant_values=jnp.inf)
     idx = order[:, :S]
     packed = idx[:, 0::2] | (idx[:, 1::2] << 16)     # (ng, SL_WORDS)
-    return counts.reshape(1, ng), packed, G
+    eblk = sorted_e[:, 0:S:EB_E]                     # (ng, S/EB_E)
+    return counts.reshape(1, ng), packed, eblk, G
 
 
 def primary_cluster_key(scene, ro, rd, far):
@@ -792,12 +832,12 @@ def cluster_closest_raw(scene, ray_o, ray_d, far0):
     N = ray_o.shape[0]
     C, F, CM = scene.cl_rows.shape
     ro, rd, far, Np = _ray_blocks(ray_o, ray_d, far0)
-    counts, packed, G = _tile_shortlists(scene.cl_aabb, ro, rd, far)
+    counts, packed, eblk, G = _tile_shortlists(scene.cl_aabb, ro, rd, far)
     grid, in_specs, out1, out3 = _specs(Np, shortlist=True)
     t, wid = pl.pallas_call(
         functools.partial(_closest_sl_kernel, G),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
+            num_scalar_prefetch=3,
             grid=grid,
             in_specs=in_specs,
             out_specs=[out1, out1],
@@ -806,7 +846,7 @@ def cluster_closest_raw(scene, ray_o, ray_d, far0):
         out_shape=[jax.ShapeDtypeStruct((Np, 1), jnp.float32),
                    jax.ShapeDtypeStruct((Np, 1), jnp.int32)],
         interpret=_INTERPRET,
-    )(counts, packed, ro, rd, far, scene.cl_chunk, scene.cl_rows)
+    )(counts, packed, eblk, ro, rd, far, scene.cl_chunk, scene.cl_rows)
     return t[:N, 0], wid[:N, 0]
 
 
@@ -864,12 +904,13 @@ def cluster_any_hit(scene, ray_o, ray_d, far0):
     Cp = scene.cl_aabb_t.shape[1]
     ro, rd, far, Np = _ray_blocks(ray_o, ray_d, far0)
     if SHORTLIST:
-        counts, packed, G = _tile_shortlists(scene.cl_aabb, ro, rd, far)
+        counts, packed, eblk, G = _tile_shortlists(scene.cl_aabb, ro, rd,
+                                                   far)
         grid, in_specs, out1, _out3 = _specs(Np, shortlist=True)
         occ = pl.pallas_call(
             functools.partial(_any_sl_kernel, G),
             grid_spec=pltpu.PrefetchScalarGridSpec(
-                num_scalar_prefetch=2,
+                num_scalar_prefetch=3,
                 grid=grid,
                 in_specs=in_specs,
                 out_specs=out1,
@@ -877,7 +918,8 @@ def cluster_any_hit(scene, ray_o, ray_d, far0):
                                 pltpu.SemaphoreType.DMA(())]),
             out_shape=jax.ShapeDtypeStruct((Np, 1), jnp.bool_),
             interpret=_INTERPRET,
-        )(counts, packed, ro, rd, far, scene.cl_chunk, scene.cl_rows)
+        )(counts, packed, eblk, ro, rd, far, scene.cl_chunk,
+          scene.cl_rows)
         return occ[:N, 0]
     order = _tile_cluster_order(scene.cl_aabb, ro, rd)
     grid, in_specs, out1, _out3 = _specs(Np)

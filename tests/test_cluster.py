@@ -122,7 +122,7 @@ def test_cluster_shortlist_overflow_fallback(knot):
     try:
         rob, rdb, far, _ = cp._ray_blocks(
             ro, rd, jnp.full((ro.shape[0],), cp.FAR, jnp.float32))
-        counts, _, _ = cp._tile_shortlists(scene.cl_aabb, rob, rdb, far)
+        counts, _, _, _ = cp._tile_shortlists(scene.cl_aabb, rob, rdb, far)
         assert (np.asarray(counts) > 2 * cp.SL_WORDS).any()   # really over
         ref = ray_intersect(
             scene, dataclasses.replace(cfg, use_cluster=False), ro, rd)
