@@ -5,8 +5,16 @@ Catches per-scene compile/render breakage across all BxDF/emitter/media
 combinations. Not part of the pytest suite (compile-heavy); run manually:
 
     PYTHONPATH= JAX_PLATFORMS=cpu python scripts/render_all.py
+
+Golden tracking: each scene's quadrant means at the fixed RNG key are
+checked against scripts/sweep_goldens.json (5% tolerance — loose enough
+for cross-version XLA fusion drift, tight enough to catch estimator or
+dispatch regressions). Refresh after an intentional change with
+`--update-goldens`; scenes without an entry only get the finite/nonblack
+checks.
 """
 import dataclasses
+import json
 import os
 import sys
 import time
@@ -63,7 +71,22 @@ SCENES = [
 ]
 
 
+GOLDENS = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "sweep_goldens.json")
+
+
+def _quadrant_means(img):
+    h, w = img.shape[:2]
+    return [float(img[y:y + h // 2, x:x + w // 2].mean())
+            for y in (0, h // 2) for x in (0, w // 2)]
+
+
 def main():
+    update = "--update-goldens" in sys.argv
+    goldens = {}
+    if os.path.exists(GOLDENS):
+        with open(GOLDENS) as f:
+            goldens = json.load(f)
     root = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..",
                         "scenes")
     failed = []
@@ -94,11 +117,27 @@ def main():
             img = np.asarray(img)
             assert np.isfinite(img).all(), "non-finite radiance"
             assert img.max() > 1e-6, "black image"
-            print(f"OK   {suite}/{name:<24} ({kind}) mean={img.mean():.4f} "
-                  f"[{time.time() - t0:.1f}s]")
+            gkey = f"{suite}/{name}/{kind}"
+            q = _quadrant_means(img.reshape(RES, RES, -1))
+            note = ""
+            if update:
+                goldens[gkey] = q
+            elif gkey in goldens:
+                ref = np.asarray(goldens[gkey])
+                ok = np.allclose(q, ref, rtol=0.05, atol=1e-4)
+                note = " golden=ok" if ok else ""
+                if not ok:
+                    raise AssertionError(
+                        f"golden drift: quadrant means {q} vs {ref.tolist()}")
+            print(f"OK   {suite}/{name:<24} ({kind}) mean={img.mean():.4f}"
+                  f"{note} [{time.time() - t0:.1f}s]")
         except Exception as e:
             failed.append((suite, name, str(e)[:100]))
             print(f"FAIL {suite}/{name:<24} ({kind}) -- {str(e)[:90]}")
+    if update:
+        with open(GOLDENS, "w") as f:
+            json.dump(goldens, f, indent=1, sort_keys=True)
+        print(f"wrote {len(goldens)} goldens -> {GOLDENS}")
     if failed:
         sys.exit(1)
     print("all scenes rendered")

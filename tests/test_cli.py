@@ -1,0 +1,98 @@
+"""End-to-end CLI smoke tests for render.py (reference render.py:65-166).
+
+Run the real CLI in a subprocess on the CPU backend at tiny resolution:
+image written, checkpoint written, resume works, --serve responds.
+"""
+import os
+import pickle
+import subprocess
+import sys
+import urllib.request
+
+import numpy as np
+import pytest
+
+REPO = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..")
+
+
+def _run(args, tmp, timeout=240):
+    env = dict(os.environ)
+    env["PYTHONPATH"] = ""
+    env["JAX_PLATFORMS"] = "cpu"
+    return subprocess.run(
+        [sys.executable, os.path.join(REPO, "render.py"),
+         "--input_path", os.path.join(REPO, "scenes"),
+         "--output_path", os.path.join(tmp, "out"),
+         "--width", "48", "--height", "48", "--max_bounce", "3",
+         "--no_watermark"] + args,
+        cwd=tmp, env=env, capture_output=True, text=True, timeout=timeout)
+
+
+@pytest.fixture(scope="module")
+def tmpdir_mod(tmp_path_factory):
+    return str(tmp_path_factory.mktemp("cli"))
+
+
+def test_cli_pt_render_checkpoint_resume(tmpdir_mod):
+    tmp = tmpdir_mod
+    p = _run(["--scene", "cbox", "--name", "cbox.xml", "--type", "pt",
+              "--iter_num", "2", "--img_name", "smoke"], tmp)
+    assert p.returncode == 0, p.stderr[-2000:]
+    assert os.path.exists(os.path.join(tmp, "out", "smoke.png")), p.stdout
+    cks = [f for f in os.listdir(os.path.join(tmp, "checkpoint"))
+           if f.endswith(".pkl")]
+    assert cks
+    with open(os.path.join(tmp, "checkpoint", cks[0]), "rb") as f:
+        ck = pickle.load(f)
+    assert int(np.asarray(ck["counter"])) == 2
+
+    # resume two more iterations from the checkpoint
+    p = _run(["--scene", "cbox", "--name", "cbox.xml", "--type", "pt",
+              "--iter_num", "2", "--img_name", "smoke", "-l"], tmp)
+    assert p.returncode == 0, p.stderr[-2000:]
+    with open(os.path.join(tmp, "checkpoint", cks[0]), "rb") as f:
+        ck = pickle.load(f)
+    assert int(np.asarray(ck["counter"])) == 4
+
+
+def test_cli_serve_preview(tmpdir_mod):
+    """--serve must expose the incremental preview over HTTP."""
+    tmp = tmpdir_mod
+    env = dict(os.environ)
+    env["PYTHONPATH"] = ""
+    env["JAX_PLATFORMS"] = "cpu"
+    proc = subprocess.Popen(
+        [sys.executable, os.path.join(REPO, "render.py"),
+         "--input_path", os.path.join(REPO, "scenes"),
+         "--output_path", os.path.join(tmp, "out"),
+         "--scene", "cbox", "--name", "cbox.xml", "--type", "pt",
+         "--width", "48", "--height", "48", "--max_bounce", "3",
+         "--iter_num", "60", "--output_freq", "5",
+         "--serve", "0", "--no_watermark"],
+        cwd=tmp, env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        text=True)
+    try:
+        port = None
+        for line in proc.stdout:
+            if "live preview: http" in line:
+                port = int(line.rsplit(":", 1)[1].strip().rstrip("/"))
+                break
+        assert port, "no preview URL printed"
+        # poll until a preview PNG is served (first render pass compiles)
+        png = None
+        for _ in range(120):
+            try:
+                with urllib.request.urlopen(
+                        f"http://127.0.0.1:{port}/frame.png",
+                        timeout=2) as r:
+                    png = r.read()
+                if png[:4] == b"\x89PNG":
+                    break
+            except Exception:
+                pass
+            import time
+            time.sleep(1)
+        assert png and png[:4] == b"\x89PNG"
+    finally:
+        proc.terminate()
+        proc.wait(timeout=30)
