@@ -146,6 +146,9 @@ class MultiChipRenderer:
 
     Each host-level render() adds mesh.shape['spp'] samples per pixel."""
 
+    _CHECK_KEYS = ("w", "h", "focal", "max_bounce",
+                   "start_x", "end_x", "start_y", "end_y")
+
     def __init__(self, scene, cfg, mesh: Mesh, trace_fn=None, seed: int = 0,
                  bdpt: bool = False):
         self.scene = scene
@@ -154,6 +157,8 @@ class MultiChipRenderer:
         self.key = jax.random.PRNGKey(seed)
         self.color = jnp.zeros((cfg.n_pixels, 3), jnp.float32)
         self.cnt = 0
+        self._kind = "bdpt" if bdpt else \
+            getattr(trace_fn, "__name__", "trace_pt")
         if bdpt:
             assert trace_fn is None, "bdpt builds its own pass"
             self._step = render_pass_bdpt_multichip(scene, cfg, mesh)
@@ -170,6 +175,39 @@ class MultiChipRenderer:
         self.color = self.color + jnp.nan_to_num(radiance, nan=0.0) \
             * self.mesh.shape["spp"]
         return self.color
+
+    def render_batch(self, n: int):
+        """n host-level steps (mesh.shape['spp'] samples each)."""
+        for _ in range(n):
+            out = self.render()
+        return out
+
+    # -- checkpointing (same schema + consistency contract as
+    # renderer/base.py; reference tracer/path_tracer.py:181-211) --
+    def get_check_point(self) -> dict:
+        chk = {k: getattr(self.cfg, k) for k in self._CHECK_KEYS}
+        chk.update({
+            "renderer": f"MultiChip-{self._kind}",
+            "accumulation": np.asarray(self.color),
+            "counter": self.cnt,
+            "key": np.asarray(jax.random.key_data(self.key)),
+        })
+        return chk
+
+    def load_check_point(self, chk: dict):
+        want = f"MultiChip-{self._kind}"
+        got = chk.get("renderer", want)
+        if got != want:
+            raise ValueError(f"checkpoint is from renderer '{got}', "
+                             f"this run uses '{want}'")
+        for k in self._CHECK_KEYS:
+            if chk[k] != getattr(self.cfg, k):
+                raise ValueError(
+                    f"checkpoint config mismatch on '{k}': "
+                    f"{chk[k]} != {getattr(self.cfg, k)}")
+        self.color = jnp.asarray(chk["accumulation"])
+        self.cnt = int(chk["counter"])
+        self.key = jax.random.wrap_key_data(jnp.asarray(chk["key"]))
 
     @property
     def pixels(self):

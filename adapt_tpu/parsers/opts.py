@@ -54,6 +54,10 @@ def get_options(argv=None):
                         help="jax platform to run on")
     parser.add_argument("--type", type=str, default="pt",
                         choices=["pt", "vpt", "bdpt", "ao", "direct"])
+    parser.add_argument("--multichip", type=int, default=0, metavar="N",
+                        help="SPMD render over an ('spp','px') device mesh: "
+                             "N devices (-1 = all visible). pt/vpt/bdpt "
+                             "only. 0 = single-chip (default)")
     parser.add_argument("--save_iter", type=int, default=0,
                         help="checkpoint save cadence (0 = only on exit)")
     parser.add_argument("-p", "--profile", action="store_true",

@@ -24,6 +24,23 @@ from adapt_tpu.parsers.opts import get_options
 
 def build_renderer(opts, scene, cfg, configs):
     import importlib
+    if opts.multichip:
+        import jax
+        from adapt_tpu.parallel.sharding import make_mesh, MultiChipRenderer
+        n = len(jax.devices()) if opts.multichip < 0 else opts.multichip
+        if opts.type == "bdpt":
+            kw = {"bdpt": True}
+        elif opts.type == "vpt":
+            from adapt_tpu.renderer.vpt import trace_vpt
+            kw = {"trace_fn": trace_vpt}
+        elif opts.type == "pt":
+            kw = {}
+        else:
+            raise SystemExit(f"--multichip supports pt/vpt/bdpt, "
+                             f"not {opts.type}")
+        mesh = make_mesh(n)
+        print(f"multichip mesh: {dict(mesh.shape)} over {n} devices")
+        return MultiChipRenderer(scene, cfg, mesh, seed=opts.seed, **kw)
     mapping = {"pt": ("pt", "Renderer"), "vpt": ("vpt", "VolumeRenderer"),
                "bdpt": ("bdpt", "BDPT"), "ao": ("ssao", "SSAORenderer"),
                "direct": ("direct", "DirectRenderer")}

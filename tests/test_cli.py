@@ -55,13 +55,36 @@ def test_cli_pt_render_checkpoint_resume(tmpdir_mod):
     assert int(np.asarray(ck["counter"])) == 4
 
 
+def test_cli_multichip(tmpdir_mod):
+    """--multichip renders over a virtual 8-device ('spp','px') mesh."""
+    tmp = tmpdir_mod
+    env = dict(os.environ)
+    env["PYTHONPATH"] = ""
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "")
+                        + " --xla_force_host_platform_device_count=8")
+    p = subprocess.run(
+        [sys.executable, os.path.join(REPO, "render.py"),
+         "--input_path", os.path.join(REPO, "scenes"),
+         "--output_path", os.path.join(tmp, "out"),
+         "--scene", "cbox", "--name", "cbox.xml", "--type", "pt",
+         "--arch", "cpu", "--multichip", "-1",
+         "--width", "48", "--height", "48", "--max_bounce", "3",
+         "--iter_num", "2", "--img_name", "mc", "--no_watermark"],
+        cwd=tmp, env=env, capture_output=True, text=True, timeout=240)
+    assert p.returncode == 0, p.stderr[-2000:]
+    assert "multichip mesh" in p.stdout, p.stdout
+    assert os.path.exists(os.path.join(tmp, "out", "mc.png"))
+
+
 def test_cli_serve_preview(tmpdir_mod):
     """--serve must expose the incremental preview over HTTP."""
     tmp = tmpdir_mod
     env = dict(os.environ)
     env["PYTHONPATH"] = ""
     env["JAX_PLATFORMS"] = "cpu"
-    proc = subprocess.Popen(
+    env["PYTHONUNBUFFERED"] = "1"   # the preview-URL line must not sit in
+    proc = subprocess.Popen(        # a block buffer until process exit
         [sys.executable, os.path.join(REPO, "render.py"),
          "--input_path", os.path.join(REPO, "scenes"),
          "--output_path", os.path.join(tmp, "out"),
