@@ -142,6 +142,7 @@ def ensure_all():
     ensure_scene_standins("cbox", "skeleton.xml")
     ensure_scene_standins("cbox", "smaller.xml")
     ensure_scene_standins("csphere", "whiskey.xml")
+    ensure_scene_standins("cbox", "bathroom.xml")
     ensure_texture("textures/bump/bump1.jpg")
     ensure_texture("textures/bump/bump2.jpg")
 

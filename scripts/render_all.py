@@ -68,6 +68,7 @@ SCENES = [
     ("cbox", "skeleton.xml", "pt"),
     ("cbox", "smaller.xml", "pt"),
     ("csphere", "whiskey.xml", "pt"),
+    ("cbox", "bathroom.xml", "pt"),
 ]
 
 
