@@ -228,6 +228,11 @@ class RenderConfig:
     t_min: float = 0.0
     t_interval: float = 1.0
     sol: float = 1.0                # world speed of light (world.py:47)
+    # AMCW time-of-flight modulation of BDPT connections (reference
+    # bdpt.py:28,407-408 — a compile-time option shipped off; here a
+    # static config flag, set via dataclasses.replace like the reference
+    # edits its constant)
+    modulated: bool = False
 
     @property
     def transient(self) -> bool:
