@@ -144,6 +144,35 @@ def test_bdpt_deep_bounce_compiles():
     assert np.isfinite(o).all() and o.max() > 0.01
 
 
+def test_bdpt_crop_deep_cap():
+    """Crop windows raise the depth cap to CAP_CROP=400 (reference
+    T_MAX_BOUNCE): max_bounce=40 on a cropped film must run un-clamped
+    (no clamp warning), while full-frame clamps at CAP=32 with a
+    warning."""
+    import dataclasses
+    import warnings as w
+    from adapt_tpu.renderer.bdpt import render_pass_bdpt, CAP, CAP_CROP
+    assert CAP_CROP >= 400
+    scene, cfg, _ = load_scene(SCENE_DIR + "/cbox/", "cbox.xml")
+    cfg = dataclasses.replace(cfg, w=16, h=16, focal=cfg.focal * 16 / 512,
+                              start_x=4, end_x=10, start_y=4, end_y=10,
+                              max_bounce=40, anti_alias=False,
+                              stratified_sampling=False, use_rr=False)
+    with w.catch_warnings():
+        w.simplefilter("error")           # a clamp warning would raise
+        out, _b, _c = render_pass_bdpt(scene, cfg, jax.random.PRNGKey(0),
+                                       jnp.int32(1))
+    o = np.asarray(out)
+    assert np.isfinite(o).all() and o.max() > 0.001
+    # full frame still clamps (loudly) at CAP
+    cfg_full = dataclasses.replace(cfg, start_x=0, end_x=16, start_y=0,
+                                   end_y=16)
+    with pytest.warns(UserWarning, match="clamped"):
+        out, _b, _c = render_pass_bdpt(scene, cfg_full,
+                                       jax.random.PRNGKey(0), jnp.int32(1))
+    assert np.isfinite(np.asarray(out)).all()
+
+
 def test_foam_crop_transient_e2e():
     """The reference's canonical transient benchmark (trans/foam.xml,
     auto_test.sh): collimated laser through a scattering slab, BDPT,
