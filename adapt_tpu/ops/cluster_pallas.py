@@ -772,9 +772,10 @@ def _tile_cluster_order(cl_aabb, ro, rd):
     direction); clusters are keyed by slab-test entry distance, with
     missed boxes pushed behind all hit boxes ordered by centroid distance.
     Order only affects how fast the kernel's per-lane `t_near < t_best`
-    prune starts firing — correctness never depends on it. Coherence-
-    sorted tiles (intersect._coherence_key) share origin cell and
-    direction octant, so the representative ray is meaningful. Grouping
+    prune starts firing — correctness never depends on it. Tiles are
+    sorted by (entered-cluster id, octant) keys (`primary_cluster_key` /
+    the renderers' key hints), so a group shares a front cluster and
+    direction octant and the representative ray is meaningful. Grouping
     keeps the prefetched SMEM table small (a per-tile table at 512 tiles x
     415 clusters overflowed the 1M SMEM budget)."""
     nt = ro.shape[0] // LANE_B

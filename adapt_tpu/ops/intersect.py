@@ -327,31 +327,6 @@ def _assemble_interaction(scene, cfg, ray_o, ray_d, best_t, best_prim,
     )
 
 
-def _coherence_key(scene, ray_o, ray_d, alive=None):
-    """Ray-coherence sort key: (Morton origin cell, direction octant).
-
-    Cluster-kernel ray tiles must share spatial locality — bounce rays
-    are incoherent and would otherwise drag every tile through every
-    cluster. Morton-interleaved 8^3 cells keep key-adjacent rays (and
-    hence the tiles that share a front-to-back cluster order) spatially
-    adjacent; dead rays pack last."""
-    w_min = jnp.min(scene.obj_aabb_min, axis=0)
-    w_max = jnp.max(scene.obj_aabb_max, axis=0)
-    cell = jnp.clip(((ray_o - w_min) / (w_max - w_min + 1e-6)
-                     * 8.0).astype(jnp.int32), 0, 7)
-    octant = ((ray_d[:, 0] > 0).astype(jnp.int32)
-              + 2 * (ray_d[:, 1] > 0).astype(jnp.int32)
-              + 4 * (ray_d[:, 2] > 0).astype(jnp.int32))
-    morton = jnp.zeros_like(octant)
-    for b in range(3):
-        for a in range(3):  # x high, y mid, z low within each bit triple
-            morton |= ((cell[:, a] >> b) & 1) << (3 * b + (2 - a))
-    key = morton * 8 + octant
-    if alive is not None:
-        key = jnp.where(alive, key, 1 << 20)    # dead rays pack last
-    return key
-
-
 def _sort_by(key, arrays):
     """Reorder arrays by ascending key via ONE multi-operand lax.sort.
 

@@ -112,33 +112,56 @@ def render_pass_bdpt_multichip(scene, cfg, mesh: Mesh):
     film pixels (the reference's atomic +=, bdpt.py:159-162) — becomes a
     full-film splat plane per shard followed by a `psum` over the 'px'
     axis; each shard then keeps its own slice. 'spp' groups average with
-    `pmean` as in the unidirectional path."""
+    `pmean` as in the unidirectional path.
+
+    With a crop window, ONLY crop pixels are sharded (reference
+    tracer_base.py:39-55): the light-subpath count equals the traced
+    pixel count exactly as on the single-chip path — tracing full-film
+    shards and masking would brighten the t=1 component by
+    n_pixels/crop_count (one light path is generated per traced pixel)."""
     from ..renderer.bdpt import bdpt_pass_core
+    from ..renderer.base import crop_pix_ids
 
     n_px = mesh.shape["px"]
-    if cfg.n_pixels % n_px:
-        raise ValueError(f"n_pixels={cfg.n_pixels} not divisible by "
-                         f"px-axis size {n_px}")
+    pix_all = crop_pix_ids(cfg)
+    n_trace = cfg.n_pixels if pix_all is None else int(pix_all.shape[0])
+    if n_trace % n_px:
+        raise ValueError(f"traced pixel count {n_trace} (crop window) not "
+                         f"divisible by px-axis size {n_px}")
     if cfg.transient:
         raise NotImplementedError("transient BDPT is single-chip")
-    shard_n = cfg.n_pixels // n_px
+    shard_n = n_trace // n_px
 
     def _shard_fn(scene, key, cnt):
         spp_i = jax.lax.axis_index("spp")
         px_i = jax.lax.axis_index("px")
         k = jax.random.fold_in(key, spp_i)
         k = jax.random.fold_in(k, px_i)
-        pix = px_i * shard_n + jnp.arange(shard_n, dtype=jnp.int32)
+        base = px_i * shard_n
+        if pix_all is None:
+            pix = base + jnp.arange(shard_n, dtype=jnp.int32)
+        else:
+            pix = jax.lax.dynamic_slice_in_dim(pix_all, base, shard_n)
         local, splat, _b, _c = bdpt_pass_core(scene, cfg, k, cnt,
                                               pix_ids=pix)
         splat = jax.lax.psum(splat, "px")
-        mine = jax.lax.dynamic_slice_in_dim(splat, px_i * shard_n, shard_n)
+        mine = jnp.take(splat, pix, axis=0) if pix_all is not None \
+            else jax.lax.dynamic_slice_in_dim(splat, base, shard_n)
         return jax.lax.pmean(local + mine, "spp")
 
     step = shard_map(_shard_fn, mesh=mesh,
                      in_specs=(P(), P(), P()),
                      out_specs=P("px"), **_shard_map_kw())
-    return _jit_with_crop(step, cfg)
+
+    if pix_all is None:
+        return _jit_with_crop(step, cfg)
+
+    def full_film(scene, key, cnt):
+        res = step(scene, key, cnt)              # (n_trace, 3) crop-local
+        return jnp.zeros((cfg.n_pixels, 3), jnp.float32) \
+            .at[pix_all].set(res)
+
+    return jax.jit(full_film)
 
 
 class MultiChipRenderer:

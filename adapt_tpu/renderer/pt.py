@@ -192,10 +192,18 @@ def trace_pt(scene, cfg, key, ray_o, ray_d):
 
         # --- next hit + emission MIS weight (vanilla_renderer.py:109-117) ---
         # dead lanes skip the closest-hit sweep entirely (alive culling);
-        # the sort key comes free off the current hit's cluster id
-        new_it = ray_intersect(scene, cfg, hit_point, new_dir, alive=active,
-                               key_hint=cluster_key_hint(scene, cfg, it,
-                                                         new_dir, active))
+        # the sort key comes free off the current hit's cluster id. The
+        # LAST bounce's next-hit feeds nothing (its emission weight is
+        # consumed by the following iteration) — skip the sweep there
+        # instead of letting it sit un-DCE'd in the loop carry.
+        new_it = jax.lax.cond(
+            b < cfg.max_bounce - 1,
+            lambda: ray_intersect(scene, cfg, hit_point, new_dir,
+                                  alive=active,
+                                  key_hint=cluster_key_hint(scene, cfg, it,
+                                                            new_dir,
+                                                            active)),
+            lambda: jax.tree_util.tree_map(jnp.zeros_like, st["it"]))
         new_mat = bxdf_ops.gather_mat(scene, new_it.obj_id)
         new_hit_light = _hit_light(new_mat, new_it)
         if cfg.use_mis:

@@ -365,9 +365,16 @@ def trace_vpt(scene, cfg, key, ray_o, ray_d):
         active &= bounce < cfg.max_bounce
 
         # --- next-segment intersect, reused as next iteration's `it` ---
-        it_n = ray_intersect(scene, cfg, hit_point, out_dir, alive=active,
-                             key_hint=cluster_key_hint(scene, cfg, it,
-                                                       out_dir, active))
+        # skipped on the last iteration: it (and the emission weight it
+        # feeds) is only consumed by the following one
+        it_n = jax.lax.cond(
+            _i < iters - 1,
+            lambda: ray_intersect(scene, cfg, hit_point, out_dir,
+                                  alive=active,
+                                  key_hint=cluster_key_hint(scene, cfg, it,
+                                                            out_dir,
+                                                            active)),
+            lambda: jax.tree_util.tree_map(jnp.zeros_like, st["it"]))
         # --- emission MIS weight from the NEXT hit (vanilla:109-117) ---
         if cfg.use_mis:
             mat_n = bxdf_ops.gather_mat(scene, it_n.obj_id)

@@ -41,7 +41,13 @@ tick();
 
 
 class PreviewServer:
-    def __init__(self, port: int = 0, name: str = "render"):
+    def __init__(self, port: int = 0, name: str = "render",
+                 host: str = "127.0.0.1"):
+        """host defaults to loopback (the printed URL is localhost; the
+        frames are unauthenticated — bind wider only deliberately, e.g.
+        host='0.0.0.0' via ADAPT_PREVIEW_HOST)."""
+        import os
+        host = os.environ.get("ADAPT_PREVIEW_HOST", host)
         self._lock = threading.Lock()
         self._png = b""
         self._meta = {"spp": 0, "w": 0, "h": 0, "version": 0,
@@ -77,12 +83,19 @@ class PreviewServer:
             def log_message(self, *a):      # quiet
                 pass
 
-        self._httpd = ThreadingHTTPServer(("0.0.0.0", port), Handler)
+        self._httpd = ThreadingHTTPServer((host, port), Handler)
         self.port = self._httpd.server_address[1]
         self._thread = threading.Thread(target=self._httpd.serve_forever,
                                         daemon=True)
         self._thread.start()
         self._last = 0.0
+
+    def due(self, min_interval: float = 0.5) -> bool:
+        """True if an update() now would publish (not be throttled).
+        Callers should check BEFORE materializing the frame: rdr.image()
+        forces a device->host sync, which would otherwise stall the
+        dispatch-ahead pipeline every iteration just to drop the frame."""
+        return time.monotonic() - self._last >= min_interval
 
     def update(self, img, spp: int, min_interval: float = 0.5):
         """Publish a (h, w, 3) float frame; throttled to min_interval s."""

@@ -159,7 +159,7 @@ def main():
             img = rdr.image()
             write_image(os.path.join(opts.output_path,
                                      f"{opts.img_name}_{i + 1:05d}.png"), img)
-        if preview is not None:
+        if preview is not None and preview.due():
             preview.update(rdr.image(), rdr.cnt)
 
     try:

@@ -230,8 +230,11 @@ def ensure_scene_standins(suite, name):
                   (cx - half, y_hi, cz + half))
         elif any(k in base for k in ("wall", "back", "door", "window",
                                      "frame", "closet", "drawings")):
-            # side walls, assigned cyclically; normals face the room
-            side = (hash(base) & 3)
+            # side walls, assigned by a STABLE hash (Python's hash() is
+            # salted per process: regenerated meshes would land on
+            # different sides than the committed sweep goldens)
+            import zlib
+            side = zlib.crc32(base.encode()) & 3
             lo, hi = y_lo, y_hi
             if side == 0:     # +x
                 _quad(path, (cx + half, lo, cz - half),

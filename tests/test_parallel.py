@@ -127,12 +127,27 @@ def test_multichip_crop_matches_single_device():
     assert (out[~mask] == 0.0).all()
     assert out[mask].max() > 0.01
 
-    # bdpt
+    # bdpt — crop pixels are SHARDED (not full-film-masked): the light
+    # subpath count equals the traced pixel count, so the t=1 component
+    # keeps single-chip (= reference) crop radiometry. Checked
+    # statistically: the multichip mean inside the crop must match a
+    # single-chip estimate (the old full-film-shard bug was ~2.7x here).
     rb = MultiChipRenderer(scene, cfg, mesh, seed=5, bdpt=True)
-    outb = np.asarray(rb.render()).reshape(-1, 3)
+    passes = 24
+    for _ in range(passes):
+        rb.render()
+    outb = np.asarray(rb.color).reshape(-1, 3) / rb.cnt
     assert np.isfinite(outb).all()
     assert (outb[~mask] == 0.0).all()
     assert outb[mask].max() > 0.01
+
+    from adapt_tpu.renderer.bdpt import BDPT
+    rs = BDPT(scene, cfg, seed=7)
+    for _ in range(passes):
+        rs.render()
+    ref_m = np.asarray(rs.color).reshape(-1, 3)[mask].mean() / rs.cnt
+    got_m = outb[mask].mean()
+    assert abs(got_m / ref_m - 1.0) < 0.25, (got_m, ref_m)
 
 
 def test_bvh_tier_dead_lane_forced_miss():
