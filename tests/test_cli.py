@@ -77,6 +77,47 @@ def test_cli_multichip(tmpdir_mod):
     assert os.path.exists(os.path.join(tmp, "out", "mc.png"))
 
 
+def test_scene_viz_flythrough(tmpdir_mod):
+    """scene_viz --serve: keyboard commands over HTTP move the camera,
+    return the live <lookat> line, and refresh the frame."""
+    import json
+    tmp = tmpdir_mod
+    env = dict(os.environ)
+    env["PYTHONPATH"] = ""
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONUNBUFFERED"] = "1"
+    proc = subprocess.Popen(
+        [sys.executable, os.path.join(REPO, "scene_viz.py"),
+         "--input_path", os.path.join(REPO, "scenes"),
+         "--scene", "cbox", "--name", "cbox.xml", "--res", "64",
+         "--serve", "0"],
+        cwd=tmp, env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        text=True)
+    try:
+        port = None
+        for line in proc.stdout:
+            if "flythrough: http" in line:
+                port = int(line.rsplit(":", 1)[1].strip().rstrip("/"))
+                break
+        assert port, "no URL printed"
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/key?k=w", timeout=120) as rsp:
+            j = json.loads(rsp.read())
+        assert "<lookat" in j["lookat"]
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/key?k=L", timeout=120) as rsp:
+            j2 = json.loads(rsp.read())
+        assert j2["version"] > j["version"]
+        assert j2["lookat"] != j["lookat"]
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/frame.png", timeout=60) as rsp:
+            png = rsp.read()
+        assert png[:4] == b"\x89PNG"
+    finally:
+        proc.terminate()
+        proc.wait(timeout=30)
+
+
 def test_cli_serve_preview(tmpdir_mod):
     """--serve must expose the incremental preview over HTTP."""
     tmp = tmpdir_mod
