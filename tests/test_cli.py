@@ -77,6 +77,23 @@ def test_cli_multichip(tmpdir_mod):
     assert os.path.exists(os.path.join(tmp, "out", "mc.png"))
 
 
+def test_cli_transient_analyze(tmpdir_mod):
+    """Transient BDPT through the CLI: per-bin frame export + time-domain
+    analysis artifacts (reference render.py:36-58 + utils/tdom_analyze)."""
+    tmp = tmpdir_mod
+    p = _run(["--scene", "trans", "--name", "cbox-point.xml",
+              "--type", "bdpt", "--iter_num", "2", "--img_name", "tr",
+              "--analyze"], tmp, timeout=600)
+    assert p.returncode == 0, p.stderr[-2000:]
+    tdir = os.path.join(tmp, "out", "trans-transient")
+    assert os.path.exists(os.path.join(tdir, "frames.npy"))
+    pngs = [f for f in os.listdir(tdir) if f.endswith(".png")]
+    assert len(pngs) >= 8, pngs
+    assert "peak" in p.stdout.lower() or any(
+        f.endswith((".data", ".txt", ".json")) or "curve" in f
+        for f in os.listdir(tdir)), (p.stdout[-500:], os.listdir(tdir))
+
+
 def test_scene_viz_flythrough(tmpdir_mod):
     """scene_viz --serve: keyboard commands over HTTP move the camera,
     return the live <lookat> line, and refresh the frame."""
