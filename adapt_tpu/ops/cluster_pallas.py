@@ -84,6 +84,16 @@ bounce-closest baseline 515 ms):
    CM=256) — defaults updated; the old note kept as context.
  * REMASK=16 and G_ORDER=4: both flat within noise — neither mask
    freshness nor order granularity is the binding constraint.
+ * Smaller shortlist groups (G=1 vs the default G=4 at 512^2): simulated
+   on true hit data (scripts/sim_early_exit.py) — non-overflow visit
+   counts are the SAME (~44/tile for synthetic bounce rays; adjacent
+   tiles share cluster sets after the cluster-id sort), while the halved
+   capacity doubles overflow (92 -> 183 tiles). Don't shrink G. The
+   closest-sweep early exit fires on primaries (1.1x) but ~never on
+   bounce tiles: a listed cluster that survives the exit check is
+   genuinely needed by some lane — the tile-granularity visit count is
+   already the exactness lower bound; further cuts must come from ray
+   regrouping or per-lane designs, not sweep logic.
 
 Reference behavior: tracer/path_tracer.py:338-422 (BVH dispatch contract).
 """
@@ -113,11 +123,15 @@ REMASK = 32            # sweep steps between box-mask refreshes
 # (probed hard limit 1 MB, minor dim padded to multiples of 128 words)
 SHORTLIST = os.environ.get("ADAPT_SHORTLIST", "1") != "0"
 SL_WORDS = int(os.environ.get("ADAPT_SL_WORDS", "256"))
-SL_MAX_ROWS = max(1, (1 << 17) // SL_WORDS)
 # sweep early-exit granularity: entry-distance thresholds are kept for
 # every EB_E'th listed cluster (one f32 SMEM scalar each; the minor dim
 # pads to 128 words anyway, so S/EB_E = 128 is free at the defaults)
 EB_E = int(os.environ.get("ADAPT_EB_E", "4"))
+# row cap from the probed SMEM budget (hard 1 MB, minor dims padded to
+# multiples of 128 words): the id table is max(SL_WORDS,128) words/row
+# and the eblk threshold table max(2*SL_WORDS/EB_E,128) more
+_SL_ROW_WORDS = max(SL_WORDS, 128) + max(2 * SL_WORDS // EB_E, 128)
+SL_MAX_ROWS = max(1, (3 << 16) // _SL_ROW_WORDS)
 # max elements of one (gb, G*B, C) slab intermediate in _tile_shortlists
 _SL_MAX_ELEMS = 1 << 23
 
