@@ -132,6 +132,10 @@ EB_E = int(os.environ.get("ADAPT_EB_E", "4"))
 # and the eblk threshold table max(2*SL_WORDS/EB_E,128) more
 _SL_ROW_WORDS = max(SL_WORDS, 128) + max(2 * SL_WORDS // EB_E, 128)
 SL_MAX_ROWS = max(1, (3 << 16) // _SL_ROW_WORDS)
+# two-phase closest sweep (see cluster_closest_raw); PH1_CAP = phase-1
+# front-to-back candidate budget
+TWO_PHASE = os.environ.get("ADAPT_TWO_PHASE", "1") != "0"
+PH1_CAP = int(os.environ.get("ADAPT_PH1_CAP", "4"))
 # max elements of one (gb, G*B, C) slab intermediate in _tile_shortlists
 _SL_MAX_ELEMS = 1 << 23
 
@@ -490,17 +494,25 @@ def _sl_entry(sl_ref, g, j, over):
     return jnp.where(over, j, half)
 
 
-def _closest_sl_kernel(G, cnt_ref, sl_ref, eblk_ref, ro_ref, rd_ref,
-                       far_ref, cab_ref, rows_hbm, t_o, wid_o, buf, sem):
+def _closest_sl_kernel(G, cap, cnt_ref, sl_ref, eblk_ref, ro_ref, rd_ref,
+                       far_ref, wid0_ref, cab_ref, rows_hbm, t_o, wid_o,
+                       buf, sem):
+    """cap > 0 bounds the sweep to the first cap candidates (phase 1 of
+    the two-phase closest hit: any hit found is a valid far bound, so a
+    truncated front-to-back sweep is sound there). wid0 carries phase-1
+    winners into phase 2 (whose t_o starts at far = the phase-1 t, so a
+    winner exactly AT far must already be recorded)."""
     i = pl.program_id(0)
     g = i // G
     C = cab_ref.shape[0] // 8
     cnt = cnt_ref[0, g]
     over = cnt > 2 * SL_WORDS
     n = jnp.where(over, jnp.int32(C), cnt)
+    if cap > 0:
+        n = jnp.minimum(n, jnp.int32(cap))
 
     t_o[:] = far_ref[:]
-    wid_o[:] = jnp.full_like(wid_o[:], -1)
+    wid_o[:] = wid0_ref[:]
 
     ro = ro_ref[:]                            # (B, 3)
     rd = rd_ref[:]
@@ -817,7 +829,7 @@ def _tile_cluster_order(cl_aabb, ro, rd):
 
 
 @functools.lru_cache(maxsize=None)
-def _specs(Np, shortlist=False):
+def _specs(Np, shortlist=False, wid0=False):
     grid = (Np // LANE_B,)
     ray = pl.BlockSpec((LANE_B, 3), lambda i, *_: (i, 0),
                        memory_space=pltpu.VMEM)
@@ -830,27 +842,20 @@ def _specs(Np, shortlist=False):
                         memory_space=pltpu.VMEM)
     out3 = pl.BlockSpec((LANE_B, 3), lambda i, *_: (i, 0),
                         memory_space=pltpu.VMEM)
-    ins = [ray, ray, far, ab, rows] if shortlist \
-        else [ray, ray, far, ab, ab, rows]
+    if shortlist:
+        ins = [ray, ray, far] + ([far] if wid0 else []) + [ab, rows]
+    else:
+        ins = [ray, ray, far, ab, ab, rows]
     return grid, ins, out1, out3
 
 
-def cluster_closest_raw(scene, ray_o, ray_d, far0):
-    """Shortlist-path closest hit returning only (t (N,), wid (N,) i32).
-
-    wid packs (cluster, chunk, lane) as cluster*CM + chunk*TC + lane
-    (-1 = miss); attributes are recovered by `_resolve_winner`, which is
-    order-independent — callers that sort the wavefront can unsort just
-    these TWO fields (a 3-operand lax.sort instead of 9: the unsort of
-    the full (t,gid,u,v,n_g,obj) record measured ~240 ms at 512^2) and
-    resolve in original ray order."""
-    N = ray_o.shape[0]
+def _closest_sl_pass(scene, ro, rd, far, Np, wid0, cap):
+    """One shortlist-kernel closest pass over pre-blocked rays."""
     C, F, CM = scene.cl_rows.shape
-    ro, rd, far, Np = _ray_blocks(ray_o, ray_d, far0)
     counts, packed, eblk, G = _tile_shortlists(scene.cl_aabb, ro, rd, far)
-    grid, in_specs, out1, out3 = _specs(Np, shortlist=True)
-    t, wid = pl.pallas_call(
-        functools.partial(_closest_sl_kernel, G),
+    grid, in_specs, out1, out3 = _specs(Np, shortlist=True, wid0=True)
+    return pl.pallas_call(
+        functools.partial(_closest_sl_kernel, G, cap),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,
             grid=grid,
@@ -861,7 +866,38 @@ def cluster_closest_raw(scene, ray_o, ray_d, far0):
         out_shape=[jax.ShapeDtypeStruct((Np, 1), jnp.float32),
                    jax.ShapeDtypeStruct((Np, 1), jnp.int32)],
         interpret=_INTERPRET,
-    )(counts, packed, eblk, ro, rd, far, scene.cl_chunk, scene.cl_rows)
+    )(counts, packed, eblk, ro, rd, far, wid0, scene.cl_chunk,
+      scene.cl_rows)
+
+
+def cluster_closest_raw(scene, ray_o, ray_d, far0):
+    """Shortlist-path closest hit returning only (t (N,), wid (N,) i32).
+
+    wid packs (cluster, chunk, lane) as cluster*CM + chunk*TC + lane
+    (-1 = miss); attributes are recovered by `_resolve_winner`, which is
+    order-independent — callers that sort the wavefront can unsort just
+    these TWO fields (a 3-operand lax.sort instead of 9: the unsort of
+    the full (t,gid,u,v,n_g,obj) record measured ~240 ms at 512^2) and
+    resolve in original ray order.
+
+    TWO-PHASE sweep (ADAPT_TWO_PHASE, default on): with far0=inf a
+    bounce ray's shortlist holds every cluster its LINE enters — most
+    lie behind the eventual hit (measured knot290k 512^2: 93.5 listed
+    visits/tile vs 13.5 once far is tightened to the true hit,
+    scripts/sim_early_exit.py). Phase 1 sweeps only the first PH1_CAP
+    front-to-back candidates (any hit found is a sound upper bound on
+    the closest t); phase 2 rebuilds the shortlists with that bound as
+    far — behind-the-hit clusters drop out of the lists entirely — and
+    starts from the phase-1 (t, wid) so an exact tie stays recorded."""
+    N = ray_o.shape[0]
+    ro, rd, far, Np = _ray_blocks(ray_o, ray_d, far0)
+    wid_init = jnp.full((Np, 1), -1, jnp.int32)
+    if TWO_PHASE:
+        t1, wid1 = _closest_sl_pass(scene, ro, rd, far, Np, wid_init,
+                                    PH1_CAP)
+        t, wid = _closest_sl_pass(scene, ro, rd, t1, Np, wid1, 0)
+    else:
+        t, wid = _closest_sl_pass(scene, ro, rd, far, Np, wid_init, 0)
     return t[:N, 0], wid[:N, 0]
 
 

@@ -112,6 +112,20 @@ def main():
               f"with-exit={exit_v / nt:.1f} "
               f"({no_exit / max(exit_v, 1):.2f}x fewer)", flush=True)
 
+        # hypothetical phase-2 lists: far tightened to the true hit t
+        # (what a two-phase sweep could achieve after a capped first pass)
+        far2 = jnp.asarray(np.where(t_true > 0, t_true * (1 + 1e-5),
+                                    np.asarray(far_s)[:len(t_true)]),
+                           jnp.float32)
+        rob2, rdb2, farb2, _ = cp._ray_blocks(o_s, d_s, far2)
+        c2, _, _, _ = cp._tile_shortlists(scene.cl_aabb, rob2, rdb2, farb2)
+        c2 = np.asarray(c2)[0]
+        per_tile = np.repeat(c2, G)[:nt]
+        ov2 = int((c2 > S).sum())
+        print(f"{tag}: phase2-bound lists: mean={per_tile.mean():.1f} "
+              f"p90={np.percentile(per_tile, 90):.0f} "
+              f"max={per_tile.max()} overflow_groups={ov2}", flush=True)
+
 
 if __name__ == "__main__":
     main()

@@ -109,6 +109,30 @@ def test_cluster_any_hit_matches_cursor(knot, sweep_mode):
         assert (np.asarray(got) == np.asarray(ref)).all()
 
 
+def test_cluster_two_phase_matches_single_pass(knot):
+    """The two-phase closest sweep (capped phase 1 -> far-tightened
+    phase 2) is exact: results match the single-pass sweep and the
+    cursor walk for any PH1_CAP, including a 1-candidate phase 1."""
+    scene, cfg = knot
+    from adapt_tpu.ops import cluster_pallas as cp
+    from adapt_tpu.ops.intersect import ray_intersect
+    ro, rd = _rays(scene, cfg, jax.random.PRNGKey(17))
+    ref = ray_intersect(scene, dataclasses.replace(cfg, use_cluster=False),
+                        ro, rd)
+    ccfg = dataclasses.replace(cfg, use_cluster=True)
+    old_tp, old_cap = cp.TWO_PHASE, cp.PH1_CAP
+    try:
+        for tp, cap in ((False, 0), (True, 1), (True, 4)):
+            cp.TWO_PHASE, cp.PH1_CAP = tp, cap
+            got = ray_intersect(scene, ccfg, ro, rd)
+            assert (np.asarray(got.prim_id)
+                    == np.asarray(ref.prim_id)).all(), (tp, cap)
+            np.testing.assert_allclose(np.asarray(got.t),
+                                       np.asarray(ref.t), rtol=2e-6)
+    finally:
+        cp.TWO_PHASE, cp.PH1_CAP = old_tp, old_cap
+
+
 def test_cluster_shortlist_overflow_fallback(knot):
     """Groups whose shortlist exceeds S=2*SL_WORDS entries take the
     chunk-gated all-cluster overflow sweep. Force S tiny so every group
