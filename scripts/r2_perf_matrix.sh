@@ -26,11 +26,11 @@ run() {  # run <tag> <extra-env...>
 case "${ONLY:-all}" in
   base) run base ;;
   all)
-    run base
-    run slw64  ADAPT_SL_WORDS=64
-    run slw128 ADAPT_SL_WORDS=128
-    run ebe8   ADAPT_EB_E=8
-    run ebe2   ADAPT_EB_E=2
+    run base                                  # two-phase on (default)
+    run single ADAPT_TWO_PHASE=0              # single-pass sweep
+    run ph1c2  ADAPT_PH1_CAP=2
+    run ph1c8  ADAPT_PH1_CAP=8
+    run ebe512 ADAPT_EB_E=512                 # early exit ~off
     ;;
   *) run "$ONLY" ;;
 esac
