@@ -57,3 +57,21 @@ def test_golden_vpt():
     img = render_pass_vpt(scene, _small(cfg), jax.random.PRNGKey(42),
                           jnp.int32(1))
     _check(img, "vptcbox_48.npy")
+
+
+def test_golden_ssao():
+    from adapt_tpu.renderer.ssao import depth_prepass, render_pass_ssao
+    scene, cfg, _ = load_scene(SCENE_DIR + "/cbox/", "cbox.xml")
+    cfg = _small(cfg)
+    key = jax.random.PRNGKey(42)
+    depth = depth_prepass(scene, cfg, key)
+    img = render_pass_ssao(scene, cfg, key, jnp.int32(1), depth)
+    _check(img, "cbox_ao_48.npy")
+
+
+def test_golden_direct():
+    from adapt_tpu.renderer.direct import render_pass_direct
+    scene, cfg, _ = load_scene(SCENE_DIR + "/cbox/", "cbox.xml")
+    img, _d, _n = render_pass_direct(scene, _small(cfg),
+                                     jax.random.PRNGKey(42), jnp.int32(1))
+    _check(img, "cbox_direct_48.npy")
