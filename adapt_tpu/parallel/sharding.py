@@ -164,6 +164,44 @@ def render_pass_bdpt_multichip(scene, cfg, mesh: Mesh):
     return jax.jit(full_film)
 
 
+def render_pass_bdpt_transient_multichip(scene, cfg, mesh: Mesh):
+    """Transient BDPT scaled over the 'spp' axis only.
+
+    Each device runs the validated crop-local single-chip pass with its
+    own RNG stream; the per-pass color is pmean'd and the time-bin
+    histograms psum'd. Pixel sharding is deliberately NOT offered here:
+    it would split the t=1 splat-bin targets across shards (a psum of
+    the whole (N, T, 3) bins plane per strategy), and transient runs use
+    small crop windows where sample-parallelism is the natural axis."""
+    from ..renderer.bdpt import bdpt_pass_core
+    from ..renderer.base import crop_pix_ids
+
+    if mesh.shape["px"] != 1:
+        raise ValueError(
+            "transient BDPT multichip scales over independent sample "
+            "batches: build the mesh with make_mesh(n, spp_parallel=n)")
+    pix = crop_pix_ids(cfg)
+
+    def _shard_fn(scene, key, cnt):
+        spp_i = jax.lax.axis_index("spp")
+        k = jax.random.fold_in(key, spp_i)
+        if pix is None:
+            local, splat, bins, cnts = bdpt_pass_core(scene, cfg, k, cnt)
+            color = local + splat
+        else:
+            local, splat, bins, cnts = bdpt_pass_core(
+                scene, cfg, k, cnt, pix_ids=pix, crop_local=True)
+            color = splat.at[pix].add(local)
+        return (jax.lax.pmean(color, "spp"),
+                jax.lax.psum(bins, "spp"),
+                jax.lax.psum(cnts, "spp"))
+
+    step = shard_map(_shard_fn, mesh=mesh,
+                     in_specs=(P(), P(), P()),
+                     out_specs=(P(), P(), P()), **_shard_map_kw())
+    return jax.jit(step)
+
+
 class MultiChipRenderer:
     """Progressive renderer running one pass per step on every mesh device.
 
@@ -182,7 +220,19 @@ class MultiChipRenderer:
         self.cnt = 0
         self._kind = "bdpt" if bdpt else \
             getattr(trace_fn, "__name__", "trace_pt")
-        if bdpt:
+        self.is_transient = bool(bdpt and cfg.transient)
+        if self.is_transient:
+            assert trace_fn is None, "bdpt builds its own pass"
+            from ..renderer.base import crop_pix_ids
+            self._pix_ids = crop_pix_ids(cfg)
+            n_traced = cfg.n_pixels if self._pix_ids is None \
+                else int(self._pix_ids.shape[0])
+            self.time_bins = jnp.zeros((n_traced, cfg.t_bins, 3),
+                                       jnp.float32)
+            self.time_cnts = jnp.zeros((n_traced, cfg.t_bins), jnp.int32)
+            self._step = render_pass_bdpt_transient_multichip(scene, cfg,
+                                                              mesh)
+        elif bdpt:
             assert trace_fn is None, "bdpt builds its own pass"
             self._step = render_pass_bdpt_multichip(scene, cfg, mesh)
         else:
@@ -194,10 +244,32 @@ class MultiChipRenderer:
     def render(self):
         self.cnt += self.mesh.shape["spp"]
         self.key, sub = jax.random.split(self.key)
-        radiance = self._step(self.scene, sub, jnp.int32(self.cnt))
+        if self.is_transient:
+            radiance, bins, cnts = self._step(self.scene, sub,
+                                              jnp.int32(self.cnt))
+            self.time_bins = self.time_bins + bins
+            self.time_cnts = self.time_cnts + cnts
+        else:
+            radiance = self._step(self.scene, sub, jnp.int32(self.cnt))
         self.color = self.color + jnp.nan_to_num(radiance, nan=0.0) \
             * self.mesh.shape["spp"]
         return self.color
+
+    # transient export API (same as renderer/bdpt.py BDPT)
+    def copy_average(self, time_idx: int):
+        cnt = jnp.maximum(self.time_cnts[:, time_idx], 1)
+        frame = self.time_bins[:, time_idx] / cnt[..., None]
+        if self._pix_ids is not None:
+            frame = jnp.zeros((self.cfg.n_pixels, 3),
+                              jnp.float32).at[self._pix_ids].set(frame)
+        return frame.reshape(self.cfg.w, self.cfg.h, 3)
+
+    def transient_frames(self):
+        out = []
+        for i in range(self.cfg.t_bins):
+            f = self.copy_average(i)
+            out.append(np.asarray(jnp.swapaxes(f, 0, 1))[::-1])
+        return np.stack(out)
 
     def render_batch(self, n: int):
         """n host-level steps (mesh.shape['spp'] samples each)."""

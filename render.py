@@ -38,7 +38,9 @@ def build_renderer(opts, scene, cfg, configs):
         else:
             raise SystemExit(f"--multichip supports pt/vpt/bdpt, "
                              f"not {opts.type}")
-        mesh = make_mesh(n)
+        # transient BDPT scales over independent sample batches (px=1)
+        spp_par = n if (opts.type == "bdpt" and cfg.transient) else None
+        mesh = make_mesh(n, spp_parallel=spp_par)
         print(f"multichip mesh: {dict(mesh.shape)} over {n} devices")
         return MultiChipRenderer(scene, cfg, mesh, seed=opts.seed, **kw)
     mapping = {"pt": ("pt", "Renderer"), "vpt": ("vpt", "VolumeRenderer"),

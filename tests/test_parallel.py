@@ -178,3 +178,41 @@ def test_bvh_tier_dead_lane_forced_miss():
     assert not occ[dead].any()
     # live lanes still intersect the box interior
     assert (np.asarray(it.obj_id)[~dead] >= 0).any()
+
+
+def test_multichip_transient_bdpt_matches_sum_of_passes():
+    """Transient BDPT over the spp axis: the psum'd time-bin histograms
+    equal the sum of the per-device single-chip passes (same folded
+    keys), and the color is their mean."""
+    from adapt_tpu.renderer.bdpt import render_pass_bdpt
+    scene, cfg, _ = load_scene(SCENE_DIR + "/trans/", "cbox-point.xml")
+    cfg = dataclasses.replace(cfg, w=16, h=16, focal=cfg.focal * 16 / 512,
+                              start_x=4, end_x=12, start_y=4, end_y=12,
+                              max_bounce=3, anti_alias=False,
+                              stratified_sampling=False, use_rr=False)
+    assert cfg.transient
+    mesh = make_mesh(4, spp_parallel=4)
+    r = MultiChipRenderer(scene, cfg, mesh, seed=11, bdpt=True)
+    key0 = r.key
+    r.render()
+    got_bins = np.asarray(r.time_bins)
+    got_cnts = np.asarray(r.time_cnts)
+    got_color = np.asarray(r.color) / r.cnt
+
+    sub = jax.random.split(key0)[1]
+    exp_bins = exp_cnts = exp_color = 0
+    for i in range(4):
+        k = jax.random.fold_in(sub, i)
+        color, bins, cnts = render_pass_bdpt(scene, cfg, k,
+                                             jnp.int32(r.cnt))
+        exp_bins = exp_bins + np.asarray(bins)
+        exp_cnts = exp_cnts + np.asarray(cnts)
+        exp_color = exp_color + np.nan_to_num(np.asarray(color)) / 4
+    assert (got_cnts == exp_cnts).all()
+    np.testing.assert_allclose(got_bins, exp_bins, rtol=2e-5, atol=1e-7)
+    np.testing.assert_allclose(got_color, exp_color, rtol=2e-5, atol=1e-7)
+    assert got_bins.sum() > 0
+    # px-sharded meshes are rejected for transient
+    with pytest.raises(ValueError):
+        MultiChipRenderer(scene, cfg, make_mesh(4, spp_parallel=1),
+                          bdpt=True)
