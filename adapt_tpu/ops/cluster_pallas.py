@@ -637,15 +637,18 @@ def _any_sl_kernel(G, cnt_ref, sl_ref, eblk_ref, ro_ref, rd_ref, far_ref,
         # once occluded or dead (far<=0), and — the shadow-ray win —
         # once the next block's entry distance reaches its far (any
         # remaining hit would land at t >= entry >= far: beyond the
-        # light). Overflow groups only use the all-settled half.
+        # light). Overflow groups only use the all-settled half. The
+        # SMEM read is index-clamped and masked by where() rather than a
+        # nested cond (single-level lax.cond is the only Mosaic-proven
+        # shape in these kernels).
         nj = j + 1
+        NB = 2 * SL_WORDS // EB_E
+        thr = eblk_ref[g, jnp.minimum(nj // EB_E, NB - 1)]
+        thr = jnp.where((nj < n) & jnp.logical_not(over), thr,
+                        jnp.float32(0.0))
         done = jax.lax.cond(
             nj % EB_E == 0,
-            lambda: jnp.all(
-                occ_o[:] | (far_ref[:] <= jax.lax.cond(
-                    (nj < n) & jnp.logical_not(over),
-                    lambda: eblk_ref[g, nj // EB_E],
-                    lambda: jnp.float32(0.0)))),
+            lambda: jnp.all(occ_o[:] | (far_ref[:] <= thr)),
             lambda: done)
         return nj, done
 
