@@ -65,4 +65,16 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    # the axon tunnel occasionally drops a single call mid-run; retry the
+    # whole measurement a couple of times before giving up (compiles are
+    # cached, so a retry after warmup is cheap)
+    for attempt in range(3):
+        try:
+            main()
+            break
+        except Exception as e:                      # pragma: no cover
+            if attempt == 2:
+                raise
+            print(f"bench attempt {attempt + 1} failed ({e!r}); retrying",
+                  file=sys.stderr)
+            time.sleep(20)
