@@ -144,9 +144,10 @@ def main():
         from rich.progress import (Progress, TextColumn, BarColumn,
                                    MofNCompleteColumn, TimeElapsedColumn,
                                    TimeRemainingColumn)
+        from adapt_tpu.utils.rich_utils import ItersPerSecColumn
         progress = Progress(TextColumn("[bold blue]render"), BarColumn(),
-                            MofNCompleteColumn(), TimeElapsedColumn(),
-                            TimeRemainingColumn())
+                            MofNCompleteColumn(), ItersPerSecColumn(),
+                            TimeElapsedColumn(), TimeRemainingColumn())
     except ImportError:
         progress = None
 
