@@ -642,7 +642,7 @@ def _any_sl_kernel(G, cnt_ref, sl_ref, eblk_ref, ro_ref, rd_ref, far_ref,
         # nested cond (single-level lax.cond is the only Mosaic-proven
         # shape in these kernels).
         nj = j + 1
-        NB = 2 * SL_WORDS // EB_E
+        NB = eblk_ref.shape[1]       # >= 1 for any EB_E (never index -1)
         thr = eblk_ref[g, jnp.minimum(nj // EB_E, NB - 1)]
         thr = jnp.where((nj < n) & jnp.logical_not(over), thr,
                         jnp.float32(0.0))

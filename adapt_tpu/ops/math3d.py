@@ -112,13 +112,26 @@ def convert_to_raw(d_in, normal):
 
 def np_rotation_between(fixed: np.ndarray, target: np.ndarray) -> np.ndarray:
     """Host-side camera rotation with roll elimination
-    (reference la/cam_transform.py:32-49)."""
-    axis = np.cross(fixed, target)
+    (reference la/cam_transform.py:32-49).
+
+    Near-antiparallel inputs get a proper pi rotation about the up-most
+    axis perpendicular to `fixed` (NOT -identity, which is a mirror with
+    det=-1 that flips the film on both axes — reachable interactively by
+    yawing the scene_viz flythrough ~180 degrees)."""
     d = float(np.dot(fixed, target))
-    if abs(d) > 1.0 - 1e-5:
-        return np.sign(d) * np.eye(3, dtype=np.float32)
-    axis /= np.linalg.norm(axis)
-    axis *= np.arccos(d)
+    if d > 1.0 - 1e-5:
+        return np.eye(3, dtype=np.float32)
+    if d < -1.0 + 1e-5:
+        up = np.float64([0.0, 1.0, 0.0])
+        axis = up - np.float64(fixed) * np.dot(fixed, up)
+        if np.linalg.norm(axis) < 1e-6:      # fixed is (anti)parallel to up
+            ex = np.float64([1.0, 0.0, 0.0])
+            axis = ex - np.float64(fixed) * np.dot(fixed, ex)
+        axis = axis / np.linalg.norm(axis) * np.pi
+    else:
+        axis = np.cross(fixed, target).astype(np.float64)
+        axis /= np.linalg.norm(axis)
+        axis *= np.arccos(d)
     euler = Rot.from_rotvec(axis).as_euler("zxy")
     euler[0] = 0.0  # eliminate roll
     return Rot.from_euler("zxy", euler).as_matrix().astype(np.float32)

@@ -255,21 +255,17 @@ class MultiChipRenderer:
             * self.mesh.shape["spp"]
         return self.color
 
-    # transient export API (same as renderer/bdpt.py BDPT)
+    # transient export API (shared helpers with renderer/bdpt.py BDPT)
     def copy_average(self, time_idx: int):
-        cnt = jnp.maximum(self.time_cnts[:, time_idx], 1)
-        frame = self.time_bins[:, time_idx] / cnt[..., None]
-        if self._pix_ids is not None:
-            frame = jnp.zeros((self.cfg.n_pixels, 3),
-                              jnp.float32).at[self._pix_ids].set(frame)
-        return frame.reshape(self.cfg.w, self.cfg.h, 3)
+        from ..renderer.bdpt import transient_copy_average
+        return transient_copy_average(self.cfg, self.time_bins,
+                                      self.time_cnts, self._pix_ids,
+                                      time_idx)
 
     def transient_frames(self):
-        out = []
-        for i in range(self.cfg.t_bins):
-            f = self.copy_average(i)
-            out.append(np.asarray(jnp.swapaxes(f, 0, 1))[::-1])
-        return np.stack(out)
+        from ..renderer.bdpt import transient_frames_np
+        return transient_frames_np(self.cfg, self.time_bins,
+                                   self.time_cnts, self._pix_ids)
 
     def render_batch(self, n: int):
         """n host-level steps (mesh.shape['spp'] samples each)."""
@@ -287,6 +283,9 @@ class MultiChipRenderer:
             "counter": self.cnt,
             "key": np.asarray(jax.random.key_data(self.key)),
         })
+        if self.is_transient:
+            chk["time_bins"] = np.asarray(self.time_bins)
+            chk["time_cnts"] = np.asarray(self.time_cnts)
         return chk
 
     def load_check_point(self, chk: dict):
@@ -303,6 +302,18 @@ class MultiChipRenderer:
         self.color = jnp.asarray(chk["accumulation"])
         self.cnt = int(chk["counter"])
         self.key = jax.random.wrap_key_data(jnp.asarray(chk["key"]))
+        if self.is_transient:
+            if "time_bins" not in chk:
+                raise ValueError(
+                    "checkpoint has no transient histograms (saved from a "
+                    "steady-state run?)")
+            bins = jnp.asarray(chk["time_bins"])
+            if bins.shape != self.time_bins.shape:
+                raise ValueError(
+                    f"transient histogram shape mismatch: checkpoint "
+                    f"{bins.shape} != configured {self.time_bins.shape}")
+            self.time_bins = bins
+            self.time_cnts = jnp.asarray(chk["time_cnts"])
 
     @property
     def pixels(self):

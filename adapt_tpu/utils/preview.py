@@ -42,12 +42,19 @@ tick();
 
 class PreviewServer:
     def __init__(self, port: int = 0, name: str = "render",
-                 host: str = "127.0.0.1"):
+                 host: str = "127.0.0.1", page: bytes | None = None,
+                 routes: dict | None = None):
         """host defaults to loopback (the printed URL is localhost; the
         frames are unauthenticated — bind wider only deliberately, e.g.
-        host='0.0.0.0' via ADAPT_PREVIEW_HOST)."""
+        host='0.0.0.0' via ADAPT_PREVIEW_HOST).
+
+        page: override the root HTML page. routes: {path_prefix:
+        callable(path) -> (bytes, content_type)} extra GET handlers —
+        scene_viz builds its interactive flythrough on these."""
         import os
         host = os.environ.get("ADAPT_PREVIEW_HOST", host)
+        page = page or _PAGE
+        routes = dict(routes or {})
         self._lock = threading.Lock()
         self._png = b""
         self._meta = {"spp": 0, "w": 0, "h": 0, "version": 0,
@@ -74,11 +81,17 @@ class PreviewServer:
                     self.end_headers()
                     self.wfile.write(data)
                 else:
+                    data, ctype = page, "text/html"
+                    for prefix, fn in routes.items():
+                        if self.path.startswith(prefix):
+                            data, ctype = fn(self.path)
+                            break
                     self.send_response(200)
-                    self.send_header("Content-Type", "text/html")
-                    self.send_header("Content-Length", str(len(_PAGE)))
+                    self.send_header("Content-Type", ctype)
+                    self.send_header("Cache-Control", "no-store")
+                    self.send_header("Content-Length", str(len(data)))
                     self.end_headers()
-                    self.wfile.write(_PAGE)
+                    self.wfile.write(data)
 
             def log_message(self, *a):      # quiet
                 pass

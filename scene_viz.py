@@ -166,25 +166,17 @@ key('.');
 
 def serve(opts, render_frame, lookat_line, origin, direction):
     """Interactive flythrough over HTTP (reference scene_viz.py:169-243:
-    WASD + view sliders in a GGUI window)."""
-    import io
+    WASD + view sliders in a GGUI window). Built on utils.preview
+    PreviewServer (custom page + a /key route)."""
     import json
     import threading
-    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
-    from PIL import Image
+
+    from adapt_tpu.utils.preview import PreviewServer
 
     state = {"o": origin.astype(np.float64),
              "d": direction / np.linalg.norm(direction),
-             "mode": opts.mode, "version": 0, "png": b""}
+             "mode": opts.mode, "version": 0}
     lock = threading.Lock()
-
-    def rerender():
-        a = np.clip(render_frame(state["o"], state["d"], state["mode"]),
-                    0, 1)
-        buf = io.BytesIO()
-        Image.fromarray((a * 255).astype(np.uint8)).save(buf, format="PNG")
-        state["png"] = buf.getvalue()
-        state["version"] += 1
 
     def apply_key(k):
         step = 0.25 * float(np.linalg.norm(state["o"]) + 1.0) * 0.1
@@ -207,59 +199,47 @@ def serve(opts, render_frame, lookat_line, origin, direction):
         elif k in "LRUD":
             ang = np.deg2rad(5.0)
             if k in "LR":                      # yaw about +y
-                s = ang if k == "L" else -ang
-                c, sn = np.cos(s), np.sin(s)
+                sgn = ang if k == "L" else -ang
+                c, sn = np.cos(sgn), np.sin(sgn)
                 x, y, z = d
                 d = np.float64([c * x + sn * z, y, -sn * x + c * z])
             else:                              # pitch about camera right
-                s = ang if k == "U" else -ang
-                c, sn = np.cos(s), np.sin(s)
+                sgn = ang if k == "U" else -ang
+                c, sn = np.cos(sgn), np.sin(sgn)
                 d = d * c + np.cross(right, d) * -sn
             state["d"] = d / np.linalg.norm(d)
         elif k in "123":
             state["mode"] = {"1": "normal", "2": "depth",
                              "3": "direct"}[k]
 
-    outer_lookat = lookat_line
+    def handle_key(path):
+        k = path.split("k=")[-1][:1]
+        with lock:
+            apply_key(k)
+            srv.update(render_frame(state["o"], state["d"], state["mode"]),
+                       spp=0, min_interval=0.0)
+            state["version"] += 1
+            data = json.dumps({
+                "version": state["version"],
+                "lookat": lookat_line(state["o"], state["d"]),
+            }).encode()
+        return data, "application/json"
 
-    class Handler(BaseHTTPRequestHandler):
-        def do_GET(self):
-            if self.path.startswith("/frame.png"):
-                with lock:
-                    data = state["png"]
-                ctype = "image/png"
-            elif self.path.startswith("/key"):
-                k = self.path.split("k=")[-1][:1]
-                with lock:
-                    apply_key(k)
-                    rerender()
-                    data = json.dumps({
-                        "version": state["version"],
-                        "lookat": outer_lookat(state["o"], state["d"]),
-                    }).encode()
-                ctype = "application/json"
-            else:
-                data, ctype = _VIZ_PAGE, "text/html"
-            self.send_response(200)
-            self.send_header("Content-Type", ctype)
-            self.send_header("Cache-Control", "no-store")
-            self.send_header("Content-Length", str(len(data)))
-            self.end_headers()
-            self.wfile.write(data)
-
-        def log_message(self, *a):
-            pass
-
+    srv = PreviewServer(port=opts.serve,
+                        name=f"{opts.scene}/{opts.name}",
+                        page=_VIZ_PAGE, routes={"/key": handle_key})
     with lock:
-        rerender()
-    host = os.environ.get("ADAPT_PREVIEW_HOST", "127.0.0.1")
-    httpd = ThreadingHTTPServer((host, opts.serve), Handler)
-    print(f"scene_viz flythrough: http://localhost:"
-          f"{httpd.server_address[1]}/", flush=True)
+        srv.update(render_frame(state["o"], state["d"], state["mode"]),
+                   spp=0, min_interval=0.0)
+    print(f"scene_viz flythrough: http://localhost:{srv.port}/",
+          flush=True)
     try:
-        httpd.serve_forever()
+        import time
+        while True:
+            time.sleep(3600)
     except KeyboardInterrupt:
         pass
+    srv.stop()
     print("final XML camera pose:")
     print("  " + lookat_line(state["o"], state["d"]))
 

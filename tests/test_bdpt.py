@@ -173,6 +173,34 @@ def test_bdpt_crop_deep_cap():
     assert np.isfinite(np.asarray(out)).all()
 
 
+def test_transient_checkpoint_roundtrip():
+    """Transient checkpoints carry the time histograms; a resumed run's
+    export equals the uninterrupted run's, and loading a steady-state
+    checkpoint into a transient run raises."""
+    from adapt_tpu.renderer.bdpt import BDPT
+    scene, cfg, _ = load_scene(SCENE_DIR + "/trans/", "cbox-point.xml")
+    cfg = dataclasses.replace(cfg, w=16, h=16, focal=cfg.focal * 16 / 512,
+                              end_x=16, end_y=16, max_bounce=3,
+                              anti_alias=False, stratified_sampling=False,
+                              use_rr=False)
+    r = BDPT(scene, cfg, seed=3)
+    r.render()
+    chk = r.get_check_point()
+    assert "time_bins" in chk
+    r2 = BDPT(scene, cfg, seed=99)
+    r2.load_check_point(chk)
+    np.testing.assert_array_equal(np.asarray(r2.time_cnts),
+                                  np.asarray(r.time_cnts))
+    r.render()
+    r2.render()
+    np.testing.assert_allclose(np.asarray(r2.time_bins),
+                               np.asarray(r.time_bins), rtol=1e-6)
+    bad = dict(chk)
+    del bad["time_bins"]
+    with pytest.raises(ValueError, match="transient"):
+        BDPT(scene, cfg).load_check_point(bad)
+
+
 def test_foam_crop_transient_e2e():
     """The reference's canonical transient benchmark (trans/foam.xml,
     auto_test.sh): collimated laser through a scattering slab, BDPT,
