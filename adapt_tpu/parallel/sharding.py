@@ -284,11 +284,13 @@ class MultiChipRenderer:
             "key": np.asarray(jax.random.key_data(self.key)),
         })
         if self.is_transient:
-            chk["time_bins"] = np.asarray(self.time_bins)
-            chk["time_cnts"] = np.asarray(self.time_cnts)
+            from ..renderer.bdpt import transient_check_point
+            chk.update(transient_check_point(self.cfg, self.time_bins,
+                                             self.time_cnts))
         return chk
 
     def load_check_point(self, chk: dict):
+        from ..renderer.bdpt import validate_transient_check_point
         want = f"MultiChip-{self._kind}"
         got = chk.get("renderer", want)
         if got != want:
@@ -299,21 +301,18 @@ class MultiChipRenderer:
                 raise ValueError(
                     f"checkpoint config mismatch on '{k}': "
                     f"{chk[k]} != {getattr(self.cfg, k)}")
+        # all validation (incl. transient payload) before any mutation
+        bins, cnts = validate_transient_check_point(
+            self.cfg, chk,
+            self.time_bins.shape if self.is_transient else None,
+            self.time_cnts.shape if self.is_transient else None,
+            self.is_transient)
         self.color = jnp.asarray(chk["accumulation"])
         self.cnt = int(chk["counter"])
         self.key = jax.random.wrap_key_data(jnp.asarray(chk["key"]))
         if self.is_transient:
-            if "time_bins" not in chk:
-                raise ValueError(
-                    "checkpoint has no transient histograms (saved from a "
-                    "steady-state run?)")
-            bins = jnp.asarray(chk["time_bins"])
-            if bins.shape != self.time_bins.shape:
-                raise ValueError(
-                    f"transient histogram shape mismatch: checkpoint "
-                    f"{bins.shape} != configured {self.time_bins.shape}")
             self.time_bins = bins
-            self.time_cnts = jnp.asarray(chk["time_cnts"])
+            self.time_cnts = cnts
 
     @property
     def pixels(self):

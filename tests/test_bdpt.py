@@ -200,6 +200,20 @@ def test_transient_checkpoint_roundtrip():
     with pytest.raises(ValueError, match="transient"):
         BDPT(scene, cfg).load_check_point(bad)
 
+    # different time axis must not merge
+    with pytest.raises(ValueError, match="t_interval"):
+        BDPT(scene, dataclasses.replace(
+            cfg, t_interval=cfg.t_interval * 0.5)).load_check_point(chk)
+
+    # a steady-state run must refuse a transient checkpoint (the
+    # histograms would be dropped silently) — and a rejected load leaves
+    # the renderer untouched (validation precedes mutation)
+    steady = BDPT(scene, dataclasses.replace(cfg, decomposition="none",
+                                             t_bins=0), seed=1)
+    with pytest.raises(ValueError, match="steady"):
+        steady.load_check_point(chk)
+    assert steady.cnt == 0 and float(np.asarray(steady.color).max()) == 0.0
+
 
 def test_foam_crop_transient_e2e():
     """The reference's canonical transient benchmark (trans/foam.xml,
