@@ -38,7 +38,7 @@ class GridVolumeData:
 
     The kind tag lives in RenderConfig (static) so absent volumes compile
     to nothing."""
-    grid: jnp.ndarray       # (Z, Y, X, 3) density
+    grid: jnp.ndarray       # (3, Z, Y, X) channel-major density
     albedo: jnp.ndarray     # (3,)
     inv_T: jnp.ndarray      # (3,3) world -> index space
     trans: jnp.ndarray      # (3,) translation
@@ -53,7 +53,7 @@ class GridVolumeData:
 def dummy_volume() -> GridVolumeData:
     z3 = jnp.zeros(3, jnp.float32)
     return GridVolumeData(
-        grid=jnp.zeros((1, 1, 1, 3), jnp.float32), albedo=jnp.ones(3),
+        grid=jnp.zeros((3, 1, 1, 1), jnp.float32), albedo=jnp.ones(3),
         inv_T=jnp.eye(3), trans=z3, mini=z3, maxi=z3,
         majorant=jnp.ones(3), pdf=jnp.full(3, 1 / 3), ph_par=z3,
         ph_pdf=jnp.array([1.0, 0.0, 0.0]))
@@ -65,7 +65,13 @@ def compile_volume(rec) -> GridVolumeData:
     mini, maxi = rec.world_aabb()
     maj = rec.majorant()
     return GridVolumeData(
-        grid=jnp.asarray(rec.density_grid),
+        # channel-major (3, Z, Y, X): a trailing size-3 axis would be the
+        # minor dim of a ~GB HBM array and pad 3 -> 128 lanes under TPU
+        # (8,128) tiling (CLAUDE.md rule 8: measured 9.8x on the BDPT
+        # vertex buffers) — 43x memory for the 256^3 tornado grid — and
+        # every per-lane gather would fetch all three channels' tiles
+        # when the march only ever consumes the picked one.
+        grid=jnp.asarray(np.moveaxis(rec.density_grid, -1, 0)),
         albedo=jnp.asarray(rec.albedo),
         inv_T=jnp.asarray(rec.inv_T),
         trans=jnp.asarray(rec.offset),
@@ -93,15 +99,17 @@ def _to_local(vol, ray_o, ray_d):
     return o, d
 
 
-def _density_lookup(vol, pos, u3):
-    """Stochastic nearest-neighbor density (reference volume.py:307-314)."""
+def _density_lookup(vol, pos, u3, ch):
+    """Stochastic nearest-neighbor density of the picked spectral channel
+    (reference volume.py:307-314). One scalar gather per lane off the
+    channel-major (3, Z, Y, X) grid."""
     idx = jnp.floor(pos + (u3 - 0.5)).astype(jnp.int32)
-    Z, Y, X = vol.grid.shape[0], vol.grid.shape[1], vol.grid.shape[2]
+    Z, Y, X = vol.grid.shape[1], vol.grid.shape[2], vol.grid.shape[3]
     ok = ((idx >= 0).all(-1) & (idx[..., 0] <= X - 1)
           & (idx[..., 1] <= Y - 1) & (idx[..., 2] <= Z - 1))
     ci = jnp.clip(idx, 0, jnp.array([X - 1, Y - 1, Z - 1]))
-    val = vol.grid[ci[..., 2], ci[..., 1], ci[..., 0]]
-    return jnp.where(ok[..., None], val, 0.0)
+    val = vol.grid[ch, ci[..., 2], ci[..., 1], ci[..., 0]]
+    return jnp.where(ok, val, 0.0)
 
 
 def _pick_channel(vol, thp, u):
@@ -156,13 +164,16 @@ def _compact_rounds(crossing, inputs, outputs, round_fn):
     C = -(-C // 128) * 128                  # lane-aligned slice
     lane = jnp.arange(N, dtype=jnp.int32)
     key_order = jnp.where(crossing, 0, 1).astype(jnp.int32)
-    vals = _sort_by(key_order, [inputs[k] for k in inputs] + [lane])
-    ins_s = dict(zip(inputs, vals[:-1]))
+    # outputs ride the same sort as inputs so per-lane defaults stay with
+    # their lane (treating original-order defaults as sorted-space would
+    # silently hand lanes each other's state; today's callers pass
+    # constants, but the contract allows e.g. a running throughput)
+    vals = _sort_by(key_order, [inputs[k] for k in inputs]
+                    + [outputs[k] for k in outputs] + [lane])
+    ins_s = dict(zip(inputs, vals[:len(inputs)]))
+    outs_s = dict(zip(outputs, vals[len(inputs):-1]))
     lane_s = vals[-1]
     m = jnp.sum(crossing.astype(jnp.int32))
-    # outputs are per-lane defaults — create them directly in sorted space
-    # instead of paying sort operands for constants
-    outs_s = dict(outputs)
 
     def cond(st):
         r, _ = st
@@ -204,11 +215,15 @@ def _compact_rounds(crossing, inputs, outputs, round_fn):
     return dict(zip(outputs, restored))
 
 
-def sample_distance_delta_tracking(vol, kind, key, ray_o, ray_d, thp, max_t):
+def sample_distance_delta_tracking(vol, kind, key, ray_o, ray_d, thp,
+                                   max_t, active=None):
     """Spectral delta-tracking distance sample (volume.py:346-402).
 
     Returns (t, beta): t = collision distance or -1 (no volume event);
-    beta multiplies throughput only where t > 0."""
+    beta multiplies throughput only where t > 0. Dead lanes (active
+    False) are excluded from the compacted march entirely — at late
+    bounces they would otherwise inflate the crossing count and buy
+    extra rounds of per-lane density gathers."""
     N = ray_o.shape[0]
     near, far = intersect_volume(vol, ray_o, ray_d, max_t)
     lo, ld = _to_local(vol, ray_o, ray_d)
@@ -216,10 +231,11 @@ def sample_distance_delta_tracking(vol, kind, key, ray_o, ray_d, thp, max_t):
     u_ch = jax.random.uniform(k_ch, (N,))
     ch, pdf, maj = _pick_channel(vol, thp, u_ch)
     inv_maj = 1.0 / maj
-    albedo = tgather(vol.albedo, ch)
 
     t0 = near - jnp.log(1.0 - jax.random.uniform(k_t0, (N,))) * inv_maj
     crossing = (near < far) & (far > 0.0) & (t0 < far)
+    if active is not None:
+        crossing &= active
 
     # sorted-space operands kept minimal (sort cost scales with payload);
     # per-channel constants rebuild from `ch` inside the round
@@ -240,9 +256,8 @@ def sample_distance_delta_tracking(vol, kind, key, ray_o, ray_d, thp, max_t):
         def body(st):
             k = jax.random.fold_in(key, r * (MAX_STEPS + 1) + st["step"])
             u = jax.random.uniform(k, (n, 5))
-            d = _density_lookup(vol, ins["lo"] + st["t"][:, None]
-                                * ins["ld"], u[:, :3])
-            n_t = select_along(d, ins["ch"])
+            n_t = _density_lookup(vol, ins["lo"] + st["t"][:, None]
+                                  * ins["ld"], u[:, :3], ins["ch"])
             collide = (~st["done"]) & (u[:, 3] < n_t * inv_m)
             hit_t = jnp.where(collide, st["t"], st["hit_t"])
             tr = jnp.where(collide, st["tr"] * alb, st["tr"])
@@ -261,17 +276,20 @@ def sample_distance_delta_tracking(vol, kind, key, ray_o, ray_d, thp, max_t):
     return outs["hit_t"], beta
 
 
-def eval_tr_ratio_tracking(vol, kind, key, ray_o, ray_d, thp, max_t):
-    """Spectral ratio-tracking transmittance (volume.py:404-463)."""
+def eval_tr_ratio_tracking(vol, kind, key, ray_o, ray_d, thp, max_t,
+                           active=None):
+    """Spectral ratio-tracking transmittance (volume.py:404-463).
+    Dead lanes (active False) skip the march and return Tr = 1."""
     N = ray_o.shape[0]
     near, far = intersect_volume(vol, ray_o, ray_d, max_t)
     lo, ld = _to_local(vol, ray_o, ray_d)
     key, k_ch = jax.random.split(key)
     u_ch = jax.random.uniform(k_ch, (N,))
-    ch, pdf, maj = _pick_channel(vol, thp, u_ch)
-    inv_maj = 1.0 / maj
+    ch, pdf, _maj = _pick_channel(vol, thp, u_ch)
 
     crossing = (near < far) & (far > 0.0)
+    if active is not None:
+        crossing &= active
     inputs = dict(lo=lo, ld=ld, near=near, far=far, ch=ch)
     outputs = dict(tr=jnp.ones((N,), jnp.float32))
 
@@ -289,9 +307,8 @@ def eval_tr_ratio_tracking(vol, kind, key, ray_o, ray_d, thp, max_t):
             u = jax.random.uniform(k, (n, 5))
             t = st["t"] - jnp.log(1.0 - u[:, 4]) * inv_m
             exited = t >= ins["far"]
-            d = _density_lookup(vol, ins["lo"] + t[:, None] * ins["ld"],
-                                u[:, :3])
-            n_t = select_along(d, ins["ch"])
+            n_t = _density_lookup(vol, ins["lo"] + t[:, None]
+                                  * ins["ld"], u[:, :3], ins["ch"])
             live = ~st["done"] & ~exited
             tr = jnp.where(live, st["tr"] * jnp.maximum(
                 0.0, 1.0 - n_t * inv_m), st["tr"])

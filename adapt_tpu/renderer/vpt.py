@@ -110,7 +110,8 @@ def track_ray(scene, cfg, start_p, ray_d, depth, key=None, thp=None,
         key, k_vol = jax.random.split(key)
         vol_tr = volume_ops.eval_tr_ratio_tracking(
             scene.volume, cfg.volume_kind, k_vol, start_p, ray_d,
-            jnp.ones((N, 3)) if thp is None else thp, depth)
+            jnp.ones((N, 3)) if thp is None else thp, depth,
+            active=active)
 
     def cond(st):
         # early all-lane exit: most shadow segments resolve in 1-2 steps
@@ -261,7 +262,7 @@ def trace_vpt(scene, cfg, key, ray_o, ray_d):
             key, k_vol = jax.random.split(key)
             v_t, v_beta = volume_ops.sample_distance_delta_tracking(
                 scene.volume, cfg.volume_kind, k_vol, ray_o, ray_d, thp,
-                depth)
+                depth, active=active)
             is_vol = v_t > 0.0
             mfp = jnp.where(is_vol, v_t, mfp)
             beta = jnp.where(is_vol[..., None], v_beta, beta)

@@ -20,8 +20,26 @@ RES = 16
 
 @pytest.fixture(scope="module")
 def uniform_vol():
-    grid = jnp.full((RES, RES, RES, 3), SIGMA, jnp.float32)
+    grid = jnp.full((3, RES, RES, RES), SIGMA, jnp.float32)  # channel-major
     maj = np.full(3, SIGMA * 1.05, np.float32)
+    return volume_ops.GridVolumeData(
+        grid=grid, albedo=jnp.full(3, 0.9), inv_T=jnp.eye(3),
+        trans=jnp.zeros(3), mini=jnp.zeros(3) - 0.01,
+        maxi=jnp.full(3, float(RES)) + 0.01,
+        majorant=jnp.asarray(maj), pdf=jnp.asarray(maj / maj.sum()),
+        ph_par=jnp.full(3, 0.5), ph_pdf=jnp.array([1.0, 0.0, 0.0]))
+
+
+# per-channel extinctions for the spectral (RGB, kind=2) oracle
+SIGMA_RGB = np.float32([0.1, 0.3, 0.6])
+
+
+@pytest.fixture(scope="module")
+def rgb_vol():
+    grid = jnp.broadcast_to(
+        jnp.asarray(SIGMA_RGB)[:, None, None, None],
+        (3, RES, RES, RES)).astype(jnp.float32)
+    maj = SIGMA_RGB * 1.05
     return volume_ops.GridVolumeData(
         grid=grid, albedo=jnp.full(3, 0.9), inv_T=jnp.eye(3),
         trans=jnp.zeros(3), mini=jnp.zeros(3) - 0.01,
@@ -61,6 +79,49 @@ def test_ratio_tracking_matches_beer_lambert(uniform_vol):
     expect = np.exp(-SIGMA * L_EFF)
     got = float(np.asarray(tr).mean())
     assert abs(got - expect) / expect < 0.08, (got, expect)
+
+
+def test_ratio_tracking_rgb_spectral_oracle(rgb_vol):
+    """The spectral path (kind=2): throughput-weighted channel pick +
+    one-hot Tr/pdf division must give E[tr_k] = exp(-sigma_k * L_eff)
+    PER CHANNEL for unequal extinctions — the mono tests cannot see a
+    wrong-channel pdf or a dropped /pdf (channel choice cancels there)."""
+    n = 1 << 17
+    o, d = _rays(n)
+    tr = np.asarray(volume_ops.eval_tr_ratio_tracking(
+        rgb_vol, 2, jax.random.PRNGKey(3), o, d,
+        jnp.ones((n, 3)), jnp.full((n,), RES + 2.0)))
+    expect = np.exp(-SIGMA_RGB * L_EFF)
+    got = tr.mean(axis=0)
+    # low-sigma channels are picked rarely (pdf ~ sigma_k), so per-channel
+    # effective sample counts differ; 12% absorbs the worst-channel noise
+    rel = np.abs(got - expect) / expect
+    assert (rel < 0.12).all(), (got, expect)
+
+
+def test_delta_tracking_rgb_beta_expectation(rgb_vol):
+    """Delta tracking on the RGB volume, against the ESTIMATOR's exact
+    closed form. A collision in channel j yields beta = one-hot_j *
+    albedo/p_j; NO collision yields beta = 1 broadcast over all channels
+    regardless of the sampled one (the reference caller ignores beta
+    unless result[3] > 0, vpt.py:96 — a kept parity quirk that couples
+    channels). Hence per channel k (homogeneous density sigma_j, pick
+    probs p_j = maj_j / sum):
+
+        E[beta_k] = sum_j p_j exp(-sigma_j L) + albedo (1 - exp(-sigma_k L))
+    """
+    n = 1 << 17
+    o, d = _rays(n)
+    t, beta = volume_ops.sample_distance_delta_tracking(
+        rgb_vol, 2, jax.random.PRNGKey(9), o, d, jnp.ones((n, 3)),
+        jnp.full((n,), RES + 2.0))
+    beta = np.asarray(beta)
+    p = SIGMA_RGB / SIGMA_RGB.sum()           # 1.05 majorant scale cancels
+    no_hit = np.exp(-SIGMA_RGB * L_EFF)
+    expect = (p * no_hit).sum() + 0.9 * (1.0 - no_hit)
+    got = beta.mean(axis=0)
+    rel = np.abs(got - expect) / expect
+    assert (rel < 0.12).all(), (got, expect)
 
 
 def test_delta_tracking_collision_statistics(uniform_vol):
