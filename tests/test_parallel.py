@@ -216,3 +216,20 @@ def test_multichip_transient_bdpt_matches_sum_of_passes():
     with pytest.raises(ValueError):
         MultiChipRenderer(scene, cfg, make_mesh(4, spp_parallel=1),
                           bdpt=True)
+
+
+def test_multichip_grid_volume_smoke():
+    """Grid-volume VPT under shard_map: the tracking compaction
+    (sort + dynamic while_loop rounds) must trace per-shard without
+    collectives; image finite and lit."""
+    from adapt_tpu.renderer.vpt import trace_vpt
+    scene, cfg, _ = load_scene(SCENE_DIR + "/cbox/", "cbox-volgrid.xml")
+    cfg = dataclasses.replace(cfg, w=16, h=16, focal=cfg.focal * 16 / 512,
+                              end_x=16, end_y=16, max_bounce=3,
+                              anti_alias=False, stratified_sampling=False,
+                              use_rr=False)
+    assert cfg.volume_kind
+    mesh = make_mesh(4, spp_parallel=2)
+    r = MultiChipRenderer(scene, cfg, mesh, trace_fn=trace_vpt, seed=2)
+    out = np.asarray(r.render()).reshape(-1, 3)
+    assert np.isfinite(out).all() and out.max() > 0.001
