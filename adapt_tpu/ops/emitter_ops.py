@@ -12,8 +12,9 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from ..constants import (EmitterTag, INV_PI, INV_2PI, BIT_POS_DELTA)
-from .math3d import dot, normalize, delocalize_rotate, norm
-from .gather import tgather
+from .math3d import dot, normalize, delocalize_rotate, norm, world_frame, \
+    AXIS_Y
+from .gather import tgather, tgather_pack
 from .sampling import (uniform_sphere, cosine_hemisphere, uniform_cone,
                        sample_triangle, concentric_disk)
 
@@ -29,6 +30,11 @@ def sample_light_index(cfg, u, no_sample):
 
     Returns (idx, pdf, valid)."""
     E = cfg.n_emitters
+    if E == 0:
+        # emitter-less scene (skybox/ambient only): nothing to sample —
+        # valid=False everywhere instead of a ZeroDivisionError at trace
+        z = jnp.zeros(u.shape, jnp.int32)
+        return z, jnp.ones_like(u), jnp.zeros(u.shape, bool)
     base_idx = jnp.minimum((u * E).astype(jnp.int32), E - 1)
     pdf = jnp.full_like(u, 1.0 / E)
     valid = jnp.ones(u.shape, bool)
@@ -43,8 +49,9 @@ def sample_light_index(cfg, u, no_sample):
     return idx, pdf, valid
 
 
-def _area_sample_hit(scene, eid, hit_pos, u):
-    """Area-light branch of sample_hit (abtract_source.py:98-132)."""
+def _area_sample_hit(scene, eid, hit_pos, u, e_int, e_inv_area):
+    """Area-light branch of sample_hit (abtract_source.py:98-132).
+    e_int/e_inv_area: pre-gathered by the caller's shared one-hot."""
     obj = jnp.maximum(tgather(scene.emit_obj, eid), 0)
     is_sphere = tgather(scene.obj_is_sphere, obj) > 0
     start = tgather(scene.obj_start, obj)
@@ -71,11 +78,13 @@ def _area_sample_hit(scene, eid, hit_pos, u):
     if HEMISPHERE_SAMPLE_SPHERE:
         sph_pdf_area = sph_pdf / jnp.maximum(radius * radius, 1e-12)
     else:
-        sph_pdf_area = jnp.full_like(sph_pdf, 1.0)
+        # reference flag-False branch keeps the uniform-area pdf
+        # (abtract_source.py:114-116), NOT 1.0
+        sph_pdf_area = e_inv_area
 
     ret_pos = jnp.where(is_sphere[..., None], sph_pos, tri_pos)
     normal = jnp.where(is_sphere[..., None], sph_normal, tri_normal)
-    ret_pdf = jnp.where(is_sphere, sph_pdf_area, tgather(scene.emit_inv_area, eid))
+    ret_pdf = jnp.where(is_sphere, sph_pdf_area, e_inv_area)
 
     diff = hit_pos - ret_pos
     dot_light = dot(normalize(diff), normal)
@@ -84,9 +93,8 @@ def _area_sample_hit(scene, eid, hit_pos, u):
     ret_pdf = jnp.where(facing,
                         ret_pdf * diff_norm2 / jnp.maximum(dot_light, 1e-12),
                         1.0)
-    intensity = tgather(scene.emit_intensity, eid)
     ret_int = jnp.where((facing & (ret_pdf > 0.0))[..., None],
-                        intensity / jnp.maximum(ret_pdf, 1e-12)[..., None],
+                        e_int / jnp.maximum(ret_pdf, 1e-12)[..., None],
                         0.0)
     return ret_pos, ret_int, ret_pdf, normal
 
@@ -97,52 +105,61 @@ def sample_hit(scene, cfg, eid, hit_pos, u):
     `intensity` is already divided by the (solid-angle) pdf for area lights,
     matching the reference contract (abtract_source.py:82-158). u: (N,3)."""
     N = hit_pos.shape[0]
-    kind = tgather(scene.emit_kind, eid)
-    ret_pos = tgather(scene.emit_pos, eid)
-    ret_int = tgather(scene.emit_intensity, eid)
+    # ONE shared one-hot for all per-emitter tables (CLAUDE.md rule 1;
+    # this runs once per shadow ray per bounce)
+    kind, e_pos, e_int, e_dir, e_r, e_inv_area = tgather_pack(
+        [scene.emit_kind, scene.emit_pos, scene.emit_intensity,
+         scene.emit_dir, scene.emit_r, scene.emit_inv_area], eid)
+    ret_pos = e_pos
+    ret_int = e_int
     ret_pdf = jnp.ones((N,), jnp.float32)
     normal = jnp.zeros((N, 3), jnp.float32)
 
     for k in cfg.emitter_kinds:
         m = kind == k
         if k == EmitterTag.POINT:
-            to_hit = hit_pos - tgather(scene.emit_pos, eid)
+            to_hit = hit_pos - e_pos
             atten = jnp.minimum(
                 1.0 / jnp.maximum(jnp.sum(to_hit * to_hit, -1), 1e-5), 1.0)
-            ret_int = jnp.where(m[..., None],
-                                tgather(scene.emit_intensity, eid) * atten[..., None],
+            ret_int = jnp.where(m[..., None], e_int * atten[..., None],
                                 ret_int)
         elif k == EmitterTag.AREA:
-            a_pos, a_int, a_pdf, a_n = _area_sample_hit(scene, eid, hit_pos, u)
+            a_pos, a_int, a_pdf, a_n = _area_sample_hit(
+                scene, eid, hit_pos, u, e_int, e_inv_area)
             ret_pos = jnp.where(m[..., None], a_pos, ret_pos)
             ret_int = jnp.where(m[..., None], a_int, ret_int)
             ret_pdf = jnp.where(m, a_pdf, ret_pdf)
             normal = jnp.where(m[..., None], a_n, normal)
         elif k == EmitterTag.SPOT:
-            to_hit = hit_pos - tgather(scene.emit_pos, eid)
+            to_hit = hit_pos - e_pos
             depth = jnp.maximum(norm(to_hit), 1e-5)
-            cos_val = dot(to_hit / depth[..., None], tgather(scene.emit_dir, eid))
-            in_cone = cos_val > tgather(scene.emit_r, eid)
+            cos_val = dot(to_hit / depth[..., None], e_dir)
+            in_cone = cos_val > e_r
             s_int = jnp.where(in_cone[..., None],
-                              tgather(scene.emit_intensity, eid)
-                              / (depth * depth)[..., None], 0.0)
+                              e_int / (depth * depth)[..., None], 0.0)
             ret_int = jnp.where(m[..., None], s_int, ret_int)
         elif k == EmitterTag.COLLIMATED:
             # deterministic back-projection onto the beam (abtract:142-157)
-            r = tgather(scene.emit_r, eid)
-            d = tgather(scene.emit_dir, eid)
-            to_hit = hit_pos - tgather(scene.emit_pos, eid)
+            r = e_r
+            d = e_dir
+            to_hit = hit_pos - e_pos
             proj = dot(to_hit, d)
             dist2 = jnp.maximum(jnp.sum(to_hit * to_hit, -1) - proj * proj,
                                 0.0)
-            ok = (r > 0.0) & (proj > 0.0) & (jnp.sqrt(dist2) < r)
+            behind = proj <= 0.0
+            ok = (r > 0.0) & ~behind & (jnp.sqrt(dist2) < r)
+            # reference quirk kept: points BEHIND the beam origin keep
+            # full intensity toward ret_pos = emitter pos (the r>0 branch
+            # only zeroes on dist >= r, abtract_source.py:148-155 —
+            # invisible in shipped scenes because the laser sits on a
+            # wall, PARITY.md behavior notes)
+            lit = (r > 0.0) & (behind | (jnp.sqrt(dist2) < r))
             c_pos = hit_pos - proj[..., None] * d
             ret_pos = jnp.where((m & ok)[..., None], c_pos, ret_pos)
             ret_int = jnp.where(m[..., None],
-                                jnp.where(ok[..., None],
-                                          tgather(scene.emit_intensity, eid), 0.0),
+                                jnp.where(lit[..., None], e_int, 0.0),
                                 ret_int)
-            ret_pdf = jnp.where(m, jnp.where(ok, 0.0, 0.0), ret_pdf)
+            ret_pdf = jnp.where(m, 0.0, ret_pdf)
             normal = jnp.where((m & ok)[..., None], d, normal)
     return ret_pos, ret_int, ret_pdf, normal
 
@@ -150,7 +167,12 @@ def sample_hit(scene, cfg, eid, hit_pos, u):
 def sample_le(scene, cfg, eid, u):
     """Emission sampling for light subpaths (abtract_source.py:160-208).
 
-    u: (N,4). Returns (ray_o, ray_d, pdf_pos, pdf_dir, normal)."""
+    u: (N,5) — the area branch consumes (tri pick, 2 position, 2
+    direction) uniforms; the reference draws each fresh, and sharing one
+    between position and direction correlates them, biasing every
+    s>=2 / t=1 BDPT strategy (the estimator divides by pdf_pos*pdf_dir,
+    which is then not the sampled joint density).
+    Returns (ray_o, ray_d, pdf_pos, pdf_dir, normal)."""
     N = eid.shape[0]
     ray_o = tgather(scene.emit_pos, eid)
     ray_d = jnp.tile(jnp.array([0.0, 1.0, 0.0], jnp.float32), (N, 1))
@@ -183,7 +205,7 @@ def sample_le(scene, cfg, eid, u):
             sph_o = center + sph_n * radius[..., None]
             a_n = jnp.where(is_sphere[..., None], sph_n, tri_n)
             a_o = jnp.where(is_sphere[..., None], sph_o, tri_o)
-            local_d, c_pdf = cosine_hemisphere(u[:, 2], u[:, 3])
+            local_d, c_pdf = cosine_hemisphere(u[:, 3], u[:, 4])
             a_d = _rotate(a_n, local_d)
             ray_o = jnp.where(m[..., None], a_o, ray_o)
             ray_d = jnp.where(m[..., None], a_d, ray_d)
@@ -201,7 +223,6 @@ def sample_le(scene, cfg, eid, u):
             d = tgather(scene.emit_dir, eid)
             off = concentric_disk(u[:, 0], u[:, 1]) \
                 * tgather(scene.emit_r, eid)[..., None]
-            from .math3d import world_frame, AXIS_Y
             o = tgather(scene.emit_pos, eid) + jnp.where(
                 (tgather(scene.emit_r, eid) > 0.0)[..., None],
                 world_frame(jnp.broadcast_to(AXIS_Y, d.shape), d, off), 0.0)

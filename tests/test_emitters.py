@@ -93,4 +93,9 @@ def test_collimated_beam():
     np.testing.assert_allclose(pos[0], [0.2, 0, 0], atol=1e-6)
     assert (pdf == 0).all()               # reference quirk: pdf stays 0
     assert (inten[1] == 0).all()
-    assert (inten[2] == 0).all()
+    # reference quirk kept (abtract_source.py:148-155): points BEHIND the
+    # beam origin keep FULL intensity toward ret_pos = emitter pos (the
+    # r>0 branch only zeroes on dist >= r) — invisible in shipped scenes
+    # because the laser sits on a wall
+    assert (inten[2] == inten[0]).all()
+    np.testing.assert_allclose(pos[2], [0.0, 0, 0], atol=1e-6)
