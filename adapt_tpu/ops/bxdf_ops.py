@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 
 from ..constants import BRDFTag, BSDFTag, INV_PI, TRANSPORT_RAD, TRANSPORT_UNI
-from .math3d import (dot, normalize, rotation_from_y, convert_to_raw,
+from .math3d import (dot, normalize, convert_to_raw,
                      delocalize_rotate, localize_rotate)
 from .geo_optics import (inci_reflect_dir, schlick_fresnel, fresnel_equation,
                          snell_refraction, refraction_cos2, fresnel_eval)
@@ -192,7 +192,8 @@ def _thin_coat_fresnel(mat, it, incid):
 # here it is always available. Parameterization follows the reference:
 # k_g[0]/k_g[1] = alpha_x/alpha_y (roughness_to_alpha precompute), k_s[0..1]
 # = dielectric Fresnel iors (sampler/microfacet.py:28-177, brdf.py:426-499).
-# Local frames are y-up (rotation_from_y), matching the sampler library.
+# Local frames are y-up (math3d.rotation_from_y convention), matching the
+# sampler library.
 
 def _ggx_d(wh_l, ax, ay):
     """GGX normal distribution D in the y-up local frame."""
