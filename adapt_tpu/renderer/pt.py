@@ -21,7 +21,7 @@ from ..ops.intersect import ray_intersect, does_intersect, cluster_key_hint
 from ..ops.math3d import dot, normalize, norm
 from ..ops.sampling import balance_heuristic
 from ..ops.texture_ops import get_uv_item, process_ns
-from .base import ProgressiveRenderer, camera_rays, crop_mask
+from .base import ProgressiveRenderer, camera_rays, crop_pix_ids
 
 
 def _hit_light(mat, it):
@@ -42,7 +42,11 @@ def render_batch_pt(scene, cfg, key, cnt0, spp, fuse=1):
     fixed per-fusion cost. Returns the SUM of spp estimates, (N, 3)."""
     fuse = max(1, min(fuse, spp))
     iters = spp // fuse
-    N = cfg.n_pixels
+    # with a crop window ONLY crop pixels are traced (reference
+    # tracer_base.py:39-55 — cropping exists to make renders affordable;
+    # full-film-trace-then-mask paid the whole film per sample)
+    pix = crop_pix_ids(cfg)
+    Nt = cfg.n_pixels if pix is None else int(pix.shape[0])
 
     def body(i, acc):
         sub = jax.random.fold_in(key, i)
@@ -50,7 +54,8 @@ def render_batch_pt(scene, cfg, key, cnt0, spp, fuse=1):
         ros, rds = [], []
         for j, k in enumerate(keys):
             k_cam, _ = jax.random.split(k)
-            ro, rd = camera_rays(scene, cfg, k_cam, cnt0 + i * fuse + j)
+            ro, rd = camera_rays(scene, cfg, k_cam, cnt0 + i * fuse + j,
+                                 pix_ids=pix)
             ros.append(ro)
             rds.append(rd)
         ray_o = jnp.concatenate(ros, axis=0)
@@ -58,21 +63,21 @@ def render_batch_pt(scene, cfg, key, cnt0, spp, fuse=1):
         k_tr = jax.random.fold_in(sub, 7919)
         color = trace_pt(scene, cfg, k_tr, ray_o, ray_d)
         color = jnp.nan_to_num(color, nan=0.0)
-        color = color.reshape(fuse, N, 3).sum(0)
-        mask = crop_mask(cfg)
-        if mask is not None:
-            color = jnp.where(mask[..., None], color, 0.0)
-        return acc + color
+        return acc + color.reshape(fuse, Nt, 3).sum(0)
 
     acc = jax.lax.fori_loop(0, iters, body,
-                            jnp.zeros((N, 3), jnp.float32))
+                            jnp.zeros((Nt, 3), jnp.float32))
     # remainder samples one at a time
     for r in range(spp - iters * fuse):
         sub = jax.random.fold_in(key, iters + 1000 + r)
+        k_tr, cam_key = jax.random.split(sub)
+        ro, rd = camera_rays(scene, cfg, cam_key,
+                             cnt0 + iters * fuse + r, pix_ids=pix)
         acc = acc + jnp.nan_to_num(
-            _render_pass_impl(scene, cfg, sub, cnt0 + iters * fuse + r),
-            nan=0.0)
-    return acc
+            trace_pt(scene, cfg, k_tr, ro, rd), nan=0.0)
+    if pix is None:
+        return acc
+    return jnp.zeros((cfg.n_pixels, 3), jnp.float32).at[pix].set(acc)
 
 
 @partial(jax.jit, static_argnames=("cfg",))
@@ -82,13 +87,21 @@ def render_pass_pt(scene, cfg, key, cnt):
 
 
 def _render_pass_impl(scene, cfg, key, cnt):
+    pix = crop_pix_ids(cfg)
     key, cam_key = jax.random.split(key)
-    ray_o, ray_d = camera_rays(scene, cfg, cam_key, cnt)
+    ray_o, ray_d = camera_rays(scene, cfg, cam_key, cnt, pix_ids=pix)
     color = trace_pt(scene, cfg, key, ray_o, ray_d)
-    mask = crop_mask(cfg)
-    if mask is not None:
-        color = jnp.where(mask[..., None], color, 0.0)
-    return color
+    if pix is None:
+        return color
+    return jnp.zeros((cfg.n_pixels, 3), jnp.float32).at[pix].set(color)
+
+
+def _finish_it(scene, cfg, it):
+    """Normal/bump perturbation + albedo fetch at interaction creation
+    (vanilla_renderer.py:42,66)."""
+    it = process_ns(scene, cfg, it)
+    tex, _ = get_uv_item(scene, scene.tex["albedo"], it)
+    return dataclasses.replace(it, tex=tex)
 
 
 def trace_pt(scene, cfg, key, ray_o, ray_d):
@@ -96,7 +109,7 @@ def trace_pt(scene, cfg, key, ray_o, ray_d):
     N = ray_o.shape[0]
     world_ior = scene.world_medium.ior[0]
 
-    it = ray_intersect(scene, cfg, ray_o, ray_d)
+    it = _finish_it(scene, cfg, ray_intersect(scene, cfg, ray_o, ray_d))
     mat = bxdf_ops.gather_mat(scene, it.obj_id)
     hit_light = _hit_light(mat, it)
 
@@ -107,7 +120,6 @@ def trace_pt(scene, cfg, key, ray_o, ray_d):
         contribution=jnp.ones((N, 3), jnp.float32),
         emission_weight=jnp.ones((N,), jnp.float32),
         active=jnp.ones((N,), bool),
-        is_specular=jnp.zeros((N,), bool),
     )
 
     def bounce(b, st):
@@ -132,11 +144,6 @@ def trace_pt(scene, cfg, key, ray_o, ray_d):
         ray_o, ray_d = st["ray_o"], st["ray_d"]
         hit_point = ray_o + it.t[..., None] * ray_d
         mat = st["mat"]
-
-        # albedo texture fetch (vanilla_renderer.py:66)
-        it = process_ns(scene, cfg, it)
-        tex, _ = get_uv_item(scene, scene.tex["albedo"], it)
-        it = dataclasses.replace(it, tex=tex)
 
         hit_light = st["hit_light"]
 
@@ -174,7 +181,7 @@ def trace_pt(scene, cfg, key, ray_o, ray_d):
 
         # --- emission hit (vanilla_renderer.py:99-101) ---
         emit_le = emitter_ops.eval_le(scene, jnp.maximum(hit_light, 0),
-                                      hit_point - ray_o, it.n_s)
+                                      ray_d, it.n_s)
         emit_int = jnp.where((hit_light >= 0)[..., None], emit_le, 0.0)
 
         # --- BSDF sampling for continuation (vanilla_renderer.py:104-108) ---
@@ -204,6 +211,14 @@ def trace_pt(scene, cfg, key, ray_o, ray_d):
                                                             new_dir,
                                                             active)),
             lambda: jax.tree_util.tree_map(jnp.zeros_like, st["it"]))
+        # normal/bump maps + albedo applied at interaction creation: the
+        # emission-MIS pdf below and every next-bounce consumer then see
+        # the SAME mapped shading normal (the reference's vanilla kernel
+        # only maps the primary hit, vanilla_renderer.py:42 — mapping
+        # every bounce is this port's documented upgrade, and doing it
+        # here keeps NEE weight + emission weight summing to 1 on mapped
+        # emitters)
+        new_it = _finish_it(scene, cfg, new_it)
         new_mat = bxdf_ops.gather_mat(scene, new_it.obj_id)
         new_hit_light = _hit_light(new_mat, new_it)
         if cfg.use_mis:
@@ -222,8 +237,7 @@ def trace_pt(scene, cfg, key, ray_o, ray_d):
         return dict(key=key, ray_o=hit_point, ray_d=new_dir, it=new_it,
                     mat=new_mat, hit_light=new_hit_light, color=color,
                     contribution=contribution,
-                    emission_weight=emission_weight, active=active,
-                    is_specular=is_specular)
+                    emission_weight=emission_weight, active=active)
 
     final = jax.lax.fori_loop(0, cfg.max_bounce, bounce, init)
     return final["color"]
@@ -236,10 +250,10 @@ class Renderer(ProgressiveRenderer):
         return render_pass_pt(self.scene, self.cfg, key,
                               jnp.asarray(cnt, jnp.int32))
 
-    def render_batch(self, spp: int):
+    def render_batch(self, spp: int, fuse: int = 4):
         self.key, sub = jax.random.split(self.key)
         acc = render_batch_pt(self.scene, self.cfg, sub,
-                              jnp.int32(self.cnt + 1), spp)
+                              jnp.int32(self.cnt + 1), spp, fuse)
         self.cnt += spp
         self.color = self.color + acc.reshape(self.cfg.w, self.cfg.h, 3)
         return self.color

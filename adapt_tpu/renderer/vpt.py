@@ -31,7 +31,7 @@ from ..ops.intersect import ray_intersect, Interaction, cluster_key_hint
 from ..ops.math3d import dot, normalize, norm
 from ..ops.sampling import balance_heuristic
 from ..ops.texture_ops import get_uv_item, process_ns
-from .base import ProgressiveRenderer, camera_rays, crop_mask
+from .base import ProgressiveRenderer, camera_rays, crop_pix_ids
 
 NULL_BUDGET = 8       # extra loop iterations to absorb null-surface crossings
 TRACK_STEPS = 7       # max medium interfaces along a shadow ray (vpt.py:113)
@@ -150,13 +150,14 @@ def track_ray(scene, cfg, start_p, ray_d, depth, key=None, thp=None,
 
 @partial(jax.jit, static_argnames=("cfg",))
 def render_pass_vpt(scene, cfg, key, cnt):
+    # crop windows trace ONLY crop pixels (reference tracer_base.py:39-55)
+    pix = crop_pix_ids(cfg)
     key, cam_key = jax.random.split(key)
-    ray_o, ray_d = camera_rays(scene, cfg, cam_key, cnt)
+    ray_o, ray_d = camera_rays(scene, cfg, cam_key, cnt, pix_ids=pix)
     color = trace_vpt(scene, cfg, key, ray_o, ray_d)
-    mask = crop_mask(cfg)
-    if mask is not None:
-        color = jnp.where(mask[..., None], color, 0.0)
-    return color
+    if pix is None:
+        return color
+    return jnp.zeros((cfg.n_pixels, 3), jnp.float32).at[pix].set(color)
 
 
 @partial(jax.jit, static_argnames=("cfg", "spp", "fuse"))
@@ -165,31 +166,34 @@ def render_batch_vpt(scene, cfg, key, cnt0, spp, fuse=1):
     (same launch-overhead amortization as renderer/pt.py)."""
     fuse = max(1, min(fuse, spp))
     iters = spp // fuse
-    N = cfg.n_pixels
+    pix = crop_pix_ids(cfg)
+    Nt = cfg.n_pixels if pix is None else int(pix.shape[0])
 
     def body(i, acc):
         sub = jax.random.fold_in(key, i)
         ros, rds = [], []
         for j in range(fuse):
             k_cam, _ = jax.random.split(jax.random.fold_in(sub, j))
-            ro, rd = camera_rays(scene, cfg, k_cam, cnt0 + i * fuse + j)
+            ro, rd = camera_rays(scene, cfg, k_cam, cnt0 + i * fuse + j,
+                                 pix_ids=pix)
             ros.append(ro)
             rds.append(rd)
         color = trace_vpt(scene, cfg, jax.random.fold_in(sub, 7919),
                           jnp.concatenate(ros, 0), jnp.concatenate(rds, 0))
-        color = jnp.nan_to_num(color, nan=0.0).reshape(fuse, N, 3).sum(0)
-        mask = crop_mask(cfg)
-        if mask is not None:
-            color = jnp.where(mask[..., None], color, 0.0)
-        return acc + color
+        return acc + jnp.nan_to_num(color,
+                                    nan=0.0).reshape(fuse, Nt, 3).sum(0)
 
-    acc = jax.lax.fori_loop(0, iters, body, jnp.zeros((N, 3), jnp.float32))
+    acc = jax.lax.fori_loop(0, iters, body, jnp.zeros((Nt, 3), jnp.float32))
     for r in range(spp - iters * fuse):
         sub = jax.random.fold_in(key, iters + 1000 + r)
-        acc = acc + jnp.nan_to_num(
-            render_pass_vpt(scene, cfg, sub, cnt0 + iters * fuse + r),
-            nan=0.0)
-    return acc
+        k_tr, cam_key = jax.random.split(sub)
+        ro, rd = camera_rays(scene, cfg, cam_key,
+                             cnt0 + iters * fuse + r, pix_ids=pix)
+        acc = acc + jnp.nan_to_num(trace_vpt(scene, cfg, k_tr, ro, rd),
+                                   nan=0.0)
+    if pix is None:
+        return acc
+    return jnp.zeros((cfg.n_pixels, 3), jnp.float32).at[pix].set(acc)
 
 
 def trace_vpt(scene, cfg, key, ray_o, ray_d):

@@ -117,3 +117,27 @@ def test_checkpoint_consistency_breadth(cbox_small):
     r3 = Renderer(scene, cfg, seed=0)
     r3.load_check_point(chk)
     assert r3.cnt == 1
+
+
+def test_pt_crop_traces_only_crop_pixels():
+    """Crop windows restrict the traced wavefront (reference
+    tracer_base.py:39-55); with a delta light and one bounce the direct
+    component is deterministic per pixel, so cropped output must equal
+    the full-frame render inside the window and be zero outside."""
+    import dataclasses
+    from adapt_tpu.renderer.base import crop_mask
+    scene, cfg, _ = load_scene(SCENE_DIR + "/cbox/", "cbox.xml")
+    base = dataclasses.replace(
+        cfg, w=16, h=16, focal=cfg.focal * 16 / 512, start_x=0, end_x=16,
+        start_y=0, end_y=16, max_bounce=1, anti_alias=False,
+        stratified_sampling=False, use_rr=False)
+    cropped = dataclasses.replace(base, start_x=4, end_x=12, start_y=3,
+                                  end_y=13)
+    key = jax.random.PRNGKey(2)
+    from adapt_tpu.renderer.pt import render_pass_pt
+    full = np.asarray(render_pass_pt(scene, base, key, jnp.int32(1)))
+    crop = np.asarray(render_pass_pt(scene, cropped, key, jnp.int32(1)))
+    mask = np.asarray(crop_mask(cropped))
+    assert (crop[~mask] == 0.0).all()
+    np.testing.assert_allclose(crop[mask], full[mask], rtol=1e-5,
+                               atol=1e-7)
