@@ -311,9 +311,10 @@ def _cluster_cut(node_pack, rows18, prim_aabb):
     # ms). The ADAPT_CM env knob re-runs the experiment without a code
     # edit.
     import os
-    cm = int(os.environ.get("ADAPT_CM", "256")) if P > 16384 else 256
-    assert cm > 0 and cm % 128 == 0, \
-        f"ADAPT_CM must be a positive multiple of 128, got {cm}"
+    cm = int(os.environ.get("ADAPT_CM", "256"))
+    if not (cm > 0 and cm % 128 == 0):
+        raise ValueError(
+            f"ADAPT_CM must be a positive multiple of 128, got {cm}")
 
     # first leaf prim at-or-after each node (leaf bases increase in DFS)
     big = np.int64(1) << 60
@@ -357,6 +358,14 @@ def _cluster_cut(node_pack, rows18, prim_aabb):
     return aabb, aabb_t, rows, chunk.reshape(C * 8, K)
 
 
+def _stack3(vals):
+    """np.stack that tolerates an empty list (emitter-less scenes are
+    legal: sample_light_index returns valid=False for n_emitters == 0)."""
+    if not vals:
+        return np.zeros((0, 3), np.float32)
+    return np.stack(vals).astype(np.float32)
+
+
 def compile_scene(emitters, array_info, objects, configs, scene_dir="."):
     """Assemble (SceneData, RenderConfig) from parsed host structures."""
     from ..ops.volume_ops import compile_volume, dummy_volume
@@ -386,8 +395,12 @@ def compile_scene(emitters, array_info, objects, configs, scene_dir="."):
         prim_obj[acc:acc + obj.tri_num] = i
         acc += obj.tri_num
 
-    tri_ids = np.array([p for p in range(P) if p not in sphere_set], np.int64)
-    sph_ids = np.array(sorted(sphere_set), np.int64)
+    sph_ids = (np.unique(sphere_ids.astype(np.int64))
+               if sphere_ids is not None and len(sphere_ids)
+               else np.zeros(0, np.int64))
+    tri_mask = np.ones(P, bool)
+    tri_mask[sph_ids] = False
+    tri_ids = np.nonzero(tri_mask)[0].astype(np.int64)
 
     # --- triangle matmul-intersector precompute ---
     tv = prims[tri_ids]                          # (T,3,3)
@@ -438,6 +451,13 @@ def compile_scene(emitters, array_info, objects, configs, scene_dir="."):
             prim_hi[sph_ids] = c + r
         node_f, node_i, prim_order = bvh_build(
             np.concatenate([prim_lo, prim_hi], axis=1).astype(np.float32))
+        # int fields ride float32 rows (one packed table, one DMA layout);
+        # exact only below 2^24 — fail loudly instead of rounding skip
+        # offsets on >16.7M-prim scenes
+        if P >= (1 << 24) or node_i.max() >= (1 << 24):
+            raise ValueError(
+                f"scene too large for the f32-packed BVH rows: P={P}, "
+                f"max node field {int(node_i.max())} (>= 2^24)")
         node_pack = np.concatenate(
             [node_f.astype(np.float32), node_i.astype(np.float32)], axis=1)
         a = prim_n.copy()
@@ -494,7 +514,13 @@ def compile_scene(emitters, array_info, objects, configs, scene_dir="."):
                        empty_rows.transpose(0, 2, 1).reshape(-1, 24)))
 
     # --- camera ---
-    cam_orient = configs["transform"][0].astype(np.float32)
+    cam_dir = configs["transform"][0]
+    if cam_dir is None or np.ndim(cam_dir) != 1 or np.size(cam_dir) != 3:
+        raise ValueError(
+            "the <sensor> transform must be a <lookat> (rotate/translate-"
+            "only sensor transforms have no view direction); got "
+            f"{type(cam_dir).__name__} from the scene XML")
+    cam_orient = np.asarray(cam_dir).astype(np.float32)
     cam_orient /= np.linalg.norm(cam_orient)
     cam_t = configs["transform"][1].astype(np.float32)
     cam_r = np_rotation_between(np.float32([0, 0, 1]), cam_orient)
@@ -571,18 +597,20 @@ def compile_scene(emitters, array_info, objects, configs, scene_dir="."):
     packed = configs.get("packed_textures") or {}
     for tag in ("albedo", "normal", "bump", "roughness"):
         recs = [obj.texture_group.get(tag) for obj in objects]
-        atlas = packed.get(tag) if packed else None
+        atlas = packed.get(tag)
         tex_tables[tag] = _texture_table(objects, recs, atlas)
 
     scene = SceneData(
         tri_gid=jnp.asarray(tri_ids.astype(np.int32)),
         tri_obj=jnp.asarray(prim_obj[tri_ids]),
         tri_n=jnp.asarray(n_unit.astype(np.float32)),
-        tri_d=jnp.asarray((n_unit * p0).sum(-1).astype(np.float32)),
+        # same arrays as prim_d/prim_cu/prim_cv: the tiers must stay
+        # op-identical for the cross-tier exactness tests
+        tri_d=jnp.asarray(prim_d[tri_ids].astype(np.float32)),
         tri_U=jnp.asarray(U.astype(np.float32)),
         tri_V=jnp.asarray(V.astype(np.float32)),
-        tri_cu=jnp.asarray((U * p0).sum(-1).astype(np.float32)),
-        tri_cv=jnp.asarray((V * p0).sum(-1).astype(np.float32)),
+        tri_cu=jnp.asarray(prim_cu[tri_ids].astype(np.float32)),
+        tri_cv=jnp.asarray(prim_cv[tri_ids].astype(np.float32)),
         sph_gid=jnp.asarray(sph_ids.astype(np.int32)),
         sph_obj=jnp.asarray(prim_obj[sph_ids] if sph_ids.size
                             else np.zeros(0, np.int32)),
@@ -612,12 +640,9 @@ def compile_scene(emitters, array_info, objects, configs, scene_dir="."):
         mat_mean=jnp.asarray(np.stack([m.mean for m in mats])),
         medium=_medium_table([m.medium for m in mats]),
         emit_kind=jnp.asarray(np.array([e.kind for e in emitters], np.int32)),
-        emit_intensity=jnp.asarray(
-            np.stack([e.intensity for e in emitters]).astype(np.float32)),
-        emit_pos=jnp.asarray(np.stack([e.pos for e in emitters])
-                             .astype(np.float32)),
-        emit_dir=jnp.asarray(np.stack([e.dir for e in emitters])
-                             .astype(np.float32)),
+        emit_intensity=jnp.asarray(_stack3([e.intensity for e in emitters])),
+        emit_pos=jnp.asarray(_stack3([e.pos for e in emitters])),
+        emit_dir=jnp.asarray(_stack3([e.dir for e in emitters])),
         emit_inv_area=jnp.asarray(
             np.array([e.inv_area for e in emitters], np.float32)),
         emit_r=jnp.asarray(np.array([e.r for e in emitters], np.float32)),

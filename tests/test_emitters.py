@@ -99,3 +99,16 @@ def test_collimated_beam():
     # because the laser sits on a wall
     assert (inten[2] == inten[0]).all()
     np.testing.assert_allclose(pos[2], [0.0, 0, 0], atol=1e-6)
+
+
+def test_zero_emitter_scene_sampling():
+    """Emitter-less scenes are legal (skybox/ambient only): the light pick
+    returns valid=False instead of dividing by zero."""
+    import dataclasses
+    from adapt_tpu.ops.emitter_ops import sample_light_index
+    cfg = dataclasses.replace(_cfg(EmitterTag.POINT), n_emitters=0)
+    u = jnp.asarray(np.linspace(0, 0.99, 8, dtype=np.float32))
+    idx, pdf, valid = sample_light_index(cfg, u, jnp.full((8,), -1,
+                                                          jnp.int32))
+    assert not np.asarray(valid).any()
+    assert np.isfinite(np.asarray(pdf)).all()
