@@ -23,16 +23,30 @@ def _build():
         subprocess.run(["make", "-C", _DIR, "-s"], check=True,
                        capture_output=True)
         return True
-    except (subprocess.CalledProcessError, FileNotFoundError):
+    except FileNotFoundError:
+        import warnings
+        warnings.warn("native build skipped: `make` not found; using the "
+                      "slower numpy fallbacks", stacklevel=3)
+        return False
+    except subprocess.CalledProcessError as e:
+        import warnings
+        warnings.warn("native build FAILED; using the slower numpy "
+                      f"fallbacks. stderr:\n{e.stderr.decode()[-2000:]}",
+                      stacklevel=3)
         return False
 
 
 def get_lib():
-    """Load (building on first use) the native library, or None."""
+    """Load (building on first use) the native library, or None.
+
+    make runs every time (not just when the .so is missing): the Makefile
+    has proper .cpp dependencies, so it is a fast no-op when up to date
+    and a rebuild after source edits — a stale .so silently validating
+    old code is worse than the ~30 ms make check."""
     global _lib
     if _lib is not None:
         return _lib
-    if not os.path.exists(_LIB_PATH) and not _build():
+    if not _build() and not os.path.exists(_LIB_PATH):
         return None
     try:
         _lib = ctypes.CDLL(_LIB_PATH)
@@ -58,6 +72,9 @@ def bvh_build(aabbs: np.ndarray):
     aabbs: (P, 6) float32 [lo, hi]. Returns (node_f (M,6) float32,
     node_i (M,3) int32 [base, count, skip], prim_order (P,) int32)."""
     P = aabbs.shape[0]
+    if P == 0:
+        return (np.zeros((0, 6), np.float32), np.zeros((0, 3), np.int32),
+                np.zeros(0, np.int32))
     aabbs = np.ascontiguousarray(aabbs, np.float32)
     lib = get_lib()
     if lib is not None:
@@ -138,12 +155,17 @@ def vol_file_to_numpy(path: str, force_mono: bool = False) -> np.ndarray:
 def _vol_numpy_fallback(path: str, force_mono: bool) -> np.ndarray:
     with open(path, "rb") as f:
         magic = f.read(4)
-        if magic[:3] != b"VOL" or magic[3] != 3:
-            raise ValueError(f"bad .vol magic in '{path}'")
-        enc = np.frombuffer(f.read(4), np.int32)[0]
+        if len(magic) < 4 or magic[:3] != b"VOL" or magic[3] != 3:
+            raise ValueError(f"bad/truncated .vol magic in '{path}'")
+        head = f.read(20)
+        if len(head) < 20:
+            raise ValueError(f"truncated .vol header in '{path}'")
+        enc = np.frombuffer(head[:4], np.int32)[0]
         if enc != 1:
             raise ValueError("only float32 encoding (1) supported")
-        x, y, z, c = np.frombuffer(f.read(16), np.int32)
+        x, y, z, c = np.frombuffer(head[4:], np.int32)
+        if min(x, y, z) <= 0:
+            raise ValueError(f"corrupt .vol dims {(x, y, z)} in '{path}'")
         if c not in (1, 3, 6):
             raise ValueError(f"unsupported channel count {c}")
         f.read(24)  # bbox

@@ -62,7 +62,9 @@ struct Builder {
         return b;
     }
 
-    int build(int begin, int end) {
+    // One node: bbox/leaf decision/partition. Returns the node id and
+    // sets *split_mid >= 0 when children [begin,mid) [mid,end) follow.
+    int make_node(int begin, int end, int *split_mid) {
         BuildNode node;
         node.box.reset();
         Aabb cbox;
@@ -78,6 +80,7 @@ struct Builder {
         int n = end - begin;
         int node_id = (int)nodes.size();
         nodes.push_back(node);
+        *split_mid = -1;
         if (n <= kLeafMax) {
             nodes[node_id].base = begin;
             nodes[node_id].count = n;
@@ -90,11 +93,7 @@ struct Builder {
         if (ext[1] > ext[axis]) axis = 1;
         if (ext[2] > ext[axis]) axis = 2;
         if (ext[axis] < 1e-12f) {  // degenerate: median split
-            int mid = begin + n / 2;
-            int l = build(begin, mid);
-            int r = build(mid, end);
-            nodes[node_id].left = l;
-            nodes[node_id].right = r;
+            *split_mid = begin + n / 2;
             return node_id;
         }
         float inv_ext = kBins / ext[axis];
@@ -140,38 +139,69 @@ struct Builder {
             }
         }
         if (best_split < 0 || best_cost >= (float)n) {
-            // SAH says leaf is cheaper (or no valid split)
-            if (n <= 2 * kLeafMax) {
-                nodes[node_id].base = begin;
-                nodes[node_id].count = n;
-                return node_id;
-            }
-            best_split = kBins / 2 - 1;  // forced split for oversize leaves
+            // SAH prefers a leaf, but leaves are HARD-capped at kLeafMax:
+            // the flat traversal (ops/bvh.py LEAF_MAX) tests exactly that
+            // many slots per leaf — an oversize leaf would silently skip
+            // prims 4..7 (found by review: clumpy scenes produced 5-6
+            // prim leaves through the old 2*kLeafMax allowance).
+            best_split = kBins / 2 - 1;  // forced split
         }
         auto mid_it = std::partition(
             order.begin() + begin, order.begin() + end,
             [&](int p) { return bin_of(p) <= best_split; });
         int mid = (int)(mid_it - order.begin());
         if (mid == begin || mid == end) mid = begin + n / 2;
-        int l = build(begin, mid);
-        int r = build(mid, end);
-        nodes[node_id].left = l;
-        nodes[node_id].right = r;
+        *split_mid = mid;
         return node_id;
     }
 
-    // DFS linearization with skip offsets
-    void linearize(int node_id, std::vector<int> &out_order,
-                   std::vector<int> &skip_of) {
-        int flat = (int)out_order.size();
-        out_order.push_back(node_id);
-        skip_of.push_back(-1);
-        const BuildNode &nd = nodes[node_id];
-        if (nd.left >= 0) {
-            linearize(nd.left, out_order, skip_of);
-            linearize(nd.right, out_order, skip_of);
+    // Explicit work stack (recursion depth is O(P) on adversarial split
+    // sequences — a native stack overflow is a SIGSEGV, not an error).
+    // Pushing the right task first keeps DFS-preorder node ids, so
+    // children ids always exceed the parent's (linearize relies on it).
+    int build(int P) {
+        struct Task { int begin, end, parent, which; };
+        std::vector<Task> tasks{{0, P, -1, 0}};
+        int root = -1;
+        while (!tasks.empty()) {
+            Task t = tasks.back();
+            tasks.pop_back();
+            int mid;
+            int node_id = make_node(t.begin, t.end, &mid);
+            if (t.parent < 0) root = node_id;
+            else if (t.which == 0) nodes[t.parent].left = node_id;
+            else nodes[t.parent].right = node_id;
+            if (mid >= 0) {
+                tasks.push_back({mid, t.end, node_id, 1});
+                tasks.push_back({t.begin, mid, node_id, 0});
+            }
         }
-        skip_of[flat] = (int)out_order.size();
+        return root;
+    }
+
+    // DFS linearization with skip offsets, iteratively: recursion depth
+    // is O(tree depth) = O(P) on adversarial splits (stack overflow is a
+    // SIGSEGV, not an error). Children are pushed after their parent in
+    // build(), so a reverse pass computes subtree sizes without
+    // recursion; skip = flat index + subtree size.
+    void linearize(int root, std::vector<int> &out_order,
+                   std::vector<int> &skip_of) {
+        std::vector<int> size(nodes.size(), 1);
+        for (int i = (int)nodes.size() - 1; i >= 0; --i)
+            if (nodes[i].left >= 0)
+                size[i] = 1 + size[nodes[i].left] + size[nodes[i].right];
+        std::vector<int> stack{root};
+        while (!stack.empty()) {
+            int id = stack.back();
+            stack.pop_back();
+            int flat = (int)out_order.size();
+            out_order.push_back(id);
+            skip_of.push_back(flat + size[id]);
+            if (nodes[id].left >= 0) {
+                stack.push_back(nodes[id].right);  // left pops first
+                stack.push_back(nodes[id].left);
+            }
+        }
     }
 };
 
@@ -197,7 +227,7 @@ int bvh_build(const float *aabbs, int64_t P, int32_t max_nodes,
     b.order.resize(P);
     std::iota(b.order.begin(), b.order.end(), 0);
     b.nodes.reserve(2 * P);
-    int root = b.build(0, (int)P);
+    int root = b.build((int)P);
 
     std::vector<int> flat_order, skip_of;
     flat_order.reserve(b.nodes.size());

@@ -38,6 +38,9 @@ int vol_read_header(const char *path, int32_t *dims) {
         return -4;
     }
     std::fclose(fp);
+    // reject corrupt headers loudly: non-positive dims would make the
+    // payload size wrap through (size_t) into a ~2^64 allocation
+    if (dims[0] <= 0 || dims[1] <= 0 || dims[2] <= 0) return -6;
     int32_t c = dims[3];
     if (c != 1 && c != 3 && c != 6) return -5;
     return 0;

@@ -83,3 +83,27 @@ def test_bvh_render_matches_brute_force(bunny_scene):
     a = np.asarray(render_pass_pt(scene, cfg, key, jnp.int32(1)))
     b = np.asarray(render_pass_pt(scene, cfg_bf, key, jnp.int32(1)))
     assert np.abs(a - b).max() < 1e-3
+
+
+def test_native_leaf_cap_on_clumpy_scenes():
+    """Leaves are HARD-capped at the traversal's LEAF_MAX: the old builder
+    allowed up to 2*kLeafMax prims when SAH preferred a fat leaf, and the
+    flat walk silently skipped slots 4..7 (review-confirmed on clumpy
+    geometry)."""
+    from adapt_tpu.native import bvh_build
+    from adapt_tpu.ops.bvh import LEAF_MAX
+    rng = np.random.RandomState(11)
+    # clumps of 5-8 near-coincident prims: exactly the SAH-prefers-a-leaf
+    # shape that used to emit oversize leaves
+    clumps = rng.uniform(-10, 10, (600, 3))
+    pts = np.repeat(clumps, rng.randint(5, 9, 600).clip(5, 8)[:600],
+                    axis=0)[:4096]
+    pts = pts + rng.uniform(-1e-3, 1e-3, pts.shape)
+    lo = pts - 1e-3
+    hi = pts + 1e-3
+    node_f, node_i, order = bvh_build(
+        np.concatenate([lo, hi], 1).astype(np.float32))
+    cnt = node_i[:, 1]
+    assert cnt.max() <= LEAF_MAX, int(cnt.max())
+    assert cnt[cnt > 0].sum() == pts.shape[0]      # every prim in a leaf
+    assert np.sort(order).tolist() == list(range(pts.shape[0]))
