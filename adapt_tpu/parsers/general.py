@@ -80,10 +80,16 @@ def transform_parse(transform_elem: xet.Element):
             elif rot_type == "angle-axis":
                 axis = np.array([get(child, "x"), get(child, "y"), get(child, "z")],
                                 dtype=np.float32)
+                ang = get(child, "angle")
+                if abs(ang) < 1e-9 or np.linalg.norm(axis) < 1e-9:
+                    raise ValueError(
+                        "angle-axis rotation needs a nonzero 'angle' and "
+                        "axis (a zero here would silently produce a NaN "
+                        "rotation and black renders)")
                 # Matches the reference formula verbatim (general_parser.py:78):
                 # the axis is divided by (norm * angle_rad), i.e. rotvec length
                 # is 1/angle_rad. Kept for scene-behavior parity.
-                axis /= np.linalg.norm(axis) * get(child, "angle") / 180.0 * np.pi
+                axis /= np.linalg.norm(axis) * ang / 180.0 * np.pi
                 trans_r = Rot.from_rotvec(axis).as_matrix()
             else:
                 raise ValueError(f"Unsupported rotation type '{rot_type}'")

@@ -106,6 +106,10 @@ def apply_transform(meshes, normals, trans_r, trans_t, trans_s, verbose=True):
         warnings.warn("<scale> on shapes is parsed but not applied "
                       "(reference-compatible behavior)")
     if trans_r is not None:
+        if np.ndim(trans_r) != 2:
+            raise ValueError(
+                "shape <transform> must use rotate/translate, not <lookat>"
+                " (a lookat direction vector would collapse the mesh)")
         center = meshes.mean(axis=1).mean(axis=0)
         meshes = (meshes - center) @ trans_r + center
         if normals is not None:

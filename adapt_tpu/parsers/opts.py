@@ -10,7 +10,13 @@ import shlex
 
 
 def _apply_config_file(parser: argparse.ArgumentParser, argv):
-    """Prepend options from a config file so CLI flags take precedence."""
+    """Prepend options from a config file so CLI flags take precedence.
+
+    Boolean (store_true) flags accept the configargparse forms
+    'debug = true' / 'debug = false' — the bare '--debug true' expansion
+    would crash argparse with 'unrecognized arguments'."""
+    flags = {a.dest for a in parser._actions
+             if isinstance(a, argparse._StoreTrueAction)}
     pre = argparse.ArgumentParser(add_help=False)
     pre.add_argument("--config", type=str, default=None)
     known, _ = pre.parse_known_args(argv)
@@ -23,8 +29,16 @@ def _apply_config_file(parser: argparse.ArgumentParser, argv):
             if not line:
                 continue
             if "=" in line:
-                k, v = line.split("=", 1)
-                file_args += [f"--{k.strip()}"] + shlex.split(v.strip())
+                k, v = (t.strip() for t in line.split("=", 1))
+                if k.replace("-", "_") in flags:
+                    if v.lower() in ("true", "1", "yes", "on"):
+                        file_args.append(f"--{k}")
+                    elif v.lower() not in ("false", "0", "no", "off"):
+                        raise SystemExit(
+                            f"config: boolean flag '{k}' got '{v}' "
+                            "(expected true/false)")
+                else:
+                    file_args += [f"--{k}"] + shlex.split(v)
             else:
                 file_args.append(f"--{line}")
     return file_args + list(argv)

@@ -120,8 +120,13 @@ def parse_global_sensor(sensor_elem):
     config["transform"] = transform_parse(sensor_elem.find("transform"))
     config["film"] = {}
     film = sensor_elem.find("film")
+    if film is None:
+        raise ValueError("<sensor> is missing its <film> element")
     for elem in film.findall("integer"):
         config["film"][elem.get("name")] = get(elem, "value", int)
+    if "width" not in config["film"] or "height" not in config["film"]:
+        raise ValueError("<film> must define integer width and height "
+                         "(reference xml_parser.py:238 asserts the same)")
     return config
 
 

@@ -103,8 +103,10 @@ def main():
         except ImportError:
             raise SystemExit("no frames.npy and cv2 unavailable")
     out = opts.save_path or opts.input_path
+    sol = getattr(opts, "sol", 1.0) or 1.0
     analyze_frames(frames, out, opts.window_mode, opts.window_size,
-                   opts.interval, opts.start_time, viz=opts.viz)
+                   opts.interval / sol, opts.start_time / sol,
+                   viz=opts.viz)
 
 
 if __name__ == "__main__":

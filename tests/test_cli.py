@@ -177,3 +177,25 @@ def test_cli_serve_preview(tmpdir_mod):
     finally:
         proc.terminate()
         proc.wait(timeout=30)
+
+
+def test_config_file_boolean_flags(tmp_path):
+    """Config files accept configargparse-style 'flag = true/false' lines
+    for store_true flags (the naive '--debug true' expansion crashed
+    argparse)."""
+    from adapt_tpu.parsers.opts import get_options
+    cfgf = tmp_path / "r.conf"
+    cfgf.write_text("debug = true\nno_watermark = false\n"
+                    "iter_num = 7\nscene = vpt\n")
+    opts = get_options(["--config", str(cfgf)])
+    assert opts.debug is True
+    assert opts.no_watermark is False
+    assert opts.iter_num == 7 and opts.scene == "vpt"
+    # CLI still overrides the file
+    opts = get_options(["--config", str(cfgf), "--iter_num", "9"])
+    assert opts.iter_num == 9
+    bad = tmp_path / "bad.conf"
+    bad.write_text("debug = maybe\n")
+    import pytest as _pytest
+    with _pytest.raises(SystemExit):
+        get_options(["--config", str(bad)])
