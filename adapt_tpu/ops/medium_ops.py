@@ -8,10 +8,9 @@ SoA parameter arrays gathered per-ray from a MediumTable.
 """
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
-from ..constants import MediumTag, INV_PI
+from ..constants import MediumTag
 from .math3d import rotate_between_apply, AXIS_Y
 from .sampling import random_rgb_channel
 from .gather import select_along
@@ -29,10 +28,18 @@ def eval_hg(g, cos_t):
 
 
 def sample_hg(g, u):
-    """Inverse-CDF HG cosine sample (reference phase_sampling.py:16-29)."""
+    """Inverse-CDF HG cosine sample (reference phase_sampling.py:16-29).
+
+    The 2g divisor keeps its SIGN: clamping it to +1e-8 broke every
+    backscattering (g<0) medium — all samples collapsed to |cos|=1
+    (measured E[cos]=+0.75 at g=-0.6). The |g|<1e-4 branch absorbs the
+    singular region, so only a sign-preserving tiny-magnitude floor is
+    needed elsewhere."""
     g2 = g * g
-    sqr = (1.0 - g2) / jnp.maximum(1.0 + g - 2.0 * g * u, 1e-8)
-    cos_g = (1.0 + g2 - sqr * sqr) / jnp.maximum(2.0 * g, 1e-8)
+    safe = lambda x, eps: jnp.where(jnp.abs(x) < eps,
+                                    jnp.where(x < 0.0, -eps, eps), x)
+    sqr = (1.0 - g2) / safe(1.0 + g - 2.0 * g * u, 1e-8)
+    cos_g = (1.0 + g2 - sqr * sqr) / safe(2.0 * g, 1e-8)
     cos_0 = 1.0 - 2.0 * u
     return jnp.where(jnp.abs(g) < 1e-4, cos_0, jnp.clip(cos_g, -1.0, 1.0))
 
@@ -52,11 +59,10 @@ def sample_rayleigh(u):
 
 
 def _local_from_cos(cos_t, u_phi):
-    """Unit direction in the y-up local frame with polar cosine cos_t."""
-    sin_t = jnp.sqrt(jnp.maximum(1.0 - cos_t * cos_t, 0.0))
-    phi = 2.0 * jnp.pi * u_phi
-    return jnp.stack([sin_t * jnp.cos(phi), cos_t, sin_t * jnp.sin(phi)],
-                     axis=-1)
+    """Unit direction in the y-up local frame with polar cosine cos_t
+    (shared spherical helper from the sampler library)."""
+    from .sampling import _spherical
+    return _spherical(cos_t, 2.0 * jnp.pi * u_phi)
 
 
 def phase_sample(kind, par, lobe_pdf, incid, u, present_kinds):

@@ -37,6 +37,24 @@ class MediumRec:
                     if name is not None and hasattr(self, name):
                         setattr(self, name, query(child))
         self.u_e = (self.u_a + self.u_s).astype(np.float32)
+        if self.type_id == MediumTag.MIE:
+            # reference marks mie unimplemented; the device phase dispatch
+            # would silently fall back to isotropic scattering
+            raise NotImplementedError(
+                "medium type 'mie' is unimplemented (reference parity: "
+                "bxdf/medium.py maps it but ships no phase function)")
+        if self.type_id == MediumTag.MULTI_HG:
+            # the lobe pdf is used BOTH as the selection CDF and the
+            # mixture weights (phase value doubles as the MIS pdf), so an
+            # unnormalized input silently biases throughput — normalize
+            # with a warning instead
+            tot = float(np.sum(self.pdf))
+            if not np.isclose(tot, 1.0, atol=1e-3):
+                import warnings
+                warnings.warn(f"multi-hg lobe pdf sums to {tot:.4f}; "
+                              "normalizing", stacklevel=2)
+                self.pdf = (np.asarray(self.pdf, np.float32)
+                            / max(tot, 1e-8))
 
     @classmethod
     def transparent(cls) -> "MediumRec":

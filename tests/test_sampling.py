@@ -111,3 +111,53 @@ def test_phase_hg_normalization():
     d, _ = sampling.uniform_sphere(u[:, 0], u[:, 1])
     ph = np.asarray(eval_hg(jnp.full((N,), g), d[:, 1]))
     assert abs((ph * 4 * np.pi).mean() - 1.0) < 2e-2
+
+
+def test_phase_hg_backscattering_moments():
+    """HG with NEGATIVE g (review r2: the old sign-clamped divisor
+    collapsed every g<0 sample to |cos|=1; E[cos] measured +0.75 at
+    g=-0.6). The HG first moment is exactly g."""
+    from adapt_tpu.ops.medium_ops import sample_hg
+    n = 1 << 17
+    u = jax.random.uniform(jax.random.PRNGKey(4), (n,))
+    for g in (-0.6, -0.2, 0.45):
+        c = np.asarray(sample_hg(jnp.full((n,), g, jnp.float32), u))
+        assert (np.abs(c) <= 1.0).all()
+        assert abs(c.mean() - g) < 0.01, (g, c.mean())
+        assert (np.abs(c) > 0.999).mean() < 0.2   # no delta-spike collapse
+
+
+def test_phase_rayleigh_moments():
+    """Rayleigh cosine sampling: E[cos]=0 and E[cos^2]=2/5 analytically
+    (pdf ~ 3/8 (1+c^2) on [-1,1] -> second moment (1/3+3/5/3... ) = 0.4)."""
+    from adapt_tpu.ops.medium_ops import sample_rayleigh
+    n = 1 << 17
+    u = jax.random.uniform(jax.random.PRNGKey(5), (n,))
+    c = np.asarray(sample_rayleigh(u))
+    assert abs(c.mean()) < 0.01
+    assert abs((c * c).mean() - 0.4) < 0.01
+
+
+def test_phase_multi_hg_mixture_consistency():
+    """Multi-HG: the returned phase value must equal the mixture density
+    of the realized cosine (val doubles as the MIS pdf), and the sampled
+    cosines must integrate the mixture: E[cos] = sum_i w_i g_i."""
+    from adapt_tpu.ops import medium_ops
+    from adapt_tpu.constants import MediumTag
+    n = 1 << 16
+    key = jax.random.PRNGKey(6)
+    u = jax.random.uniform(key, (n, 3))
+    par = jnp.broadcast_to(jnp.float32([-0.4, 0.1, 0.7]), (n, 3))
+    w = jnp.broadcast_to(jnp.float32([0.5, 0.2, 0.3]), (n, 3))
+    kind = jnp.full((n,), MediumTag.MULTI_HG, jnp.int32)
+    incid = jnp.broadcast_to(jnp.float32([0, 0, 1]), (n, 3))
+    new_dir, val = medium_ops.phase_sample(kind, par, w, incid, u,
+                                           (MediumTag.MULTI_HG,))
+    cos = np.asarray(jnp.sum(new_dir * incid, -1))
+    gbar = float((np.float32([0.5, 0.2, 0.3])
+                  * np.float32([-0.4, 0.1, 0.7])).sum())
+    assert abs(cos.mean() - gbar) < 0.01, (cos.mean(), gbar)
+    # val == mixture density at the realized cosine
+    mix = np.asarray(medium_ops.phase_eval(kind, par, w, incid, new_dir,
+                                           (MediumTag.MULTI_HG,)))
+    np.testing.assert_allclose(np.asarray(val), mix, rtol=1e-4, atol=1e-7)
