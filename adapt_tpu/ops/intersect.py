@@ -327,13 +327,43 @@ def _assemble_interaction(scene, cfg, ray_o, ray_d, best_t, best_prim,
     )
 
 
-def _sort_by(key, arrays):
+import os as _os
+
+# Wavefront sort granularity: 0 = one global lax.sort; otherwise sort
+# independently within segments of this many rays (axis-1 sort after a
+# reshape). Segmented sorts are much cheaper on TPU (no global merge
+# network) and remain EXACT: grouping only drives tile coherence, and
+# the unsort stays a true inverse because the forward permutation never
+# crosses a segment boundary. The cost is looser tile shortlists (each
+# segment groups only its own rays); measured end-to-end on the big
+# scenes before changing the default.
+SORT_SEG = int(_os.environ.get("ADAPT_SORT_SEG", "0"))
+
+
+def _sort_by(key, arrays, seg=None):
     """Reorder arrays by ascending key via ONE multi-operand lax.sort.
 
     TPU note: applying a permutation with x[perm] lowers to per-lane HBM
     gathers (~100x off bandwidth; they measured 575 ms/spp on the 290k
     scene). XLA's sort moves the same payloads with dense, structured
-    accesses. (N,k) arrays ride as k scalar operands."""
+    accesses. (N,k) arrays ride as k scalar operands.
+
+    seg: None = use the SORT_SEG default; 0 = force one global sort
+    (callers that rely on GLOBAL compaction, e.g. volume_ops
+    _compact_rounds, must pass 0). With a segment size set and N
+    divisible by it, the sort runs per segment (see SORT_SEG note)."""
+    if seg is None:
+        seg = SORT_SEG
+    if seg and key.shape[0] % seg == 0 and key.shape[0] > seg:
+        S = key.shape[0] // seg
+
+        def shape(x):
+            return x.reshape(S, seg)
+
+        def unshape(x):
+            return x.reshape(-1)
+    else:
+        shape = unshape = lambda x: x
     ops = [key]
     widths = []
     for a in arrays:
@@ -343,7 +373,10 @@ def _sort_by(key, arrays):
         else:
             ops.extend(a[:, i] for i in range(a.shape[1]))
             widths.append(a.shape[1])
-    out = jax.lax.sort(tuple(ops), dimension=0, num_keys=1)[1:]
+    dim = 0 if shape is unshape else 1
+    out = jax.lax.sort(tuple(shape(o) for o in ops), dimension=dim,
+                       num_keys=1)[1:]
+    out = [unshape(o) for o in out]
     res = []
     i = 0
     for w in widths:
@@ -391,6 +424,69 @@ def cluster_key_hint(scene, cfg, it, ray_d, alive=None):
     if alive is not None:
         ok = ok & alive
     return jnp.where(ok, it.cid * 8 + octant, 8 * C)
+
+
+def intersect_pair(scene, cfg, origin, d_shadow, shadow_max_t, d_next,
+                   alive=None, key_hint=None):
+    """Fused shadow any-hit + continuation closest-hit from a SHARED
+    origin wavefront: (occluded (N,) bool, Interaction).
+
+    Why: on the cluster tier every intersect call pays a multi-operand
+    wavefront sort, and the sort — not the Pallas sweep — is the
+    dominating cost on the big scenes (measured v5e, 512^2 incoherent
+    rays: 10-operand sort 110-131 ms vs 92-201 ms for the whole
+    two-phase closest kernel, scripts/bench_components.py). A PT bounce
+    issues both a shadow any-hit and a continuation closest-hit from the
+    SAME hit points, so their wavefronts share the one coherence key
+    that matters (the origin's cluster id); fusing them under ONE
+    sort/unsort pair replaces 2 sorts + 2 unsorts (10+10+3+2 operand
+    passes) with 1 sort + 1 unsort (13+4).
+
+    Semantics are identical to
+        does_intersect(origin, d_shadow, shadow_max_t, alive=alive),
+        ray_intersect(origin, d_next, alive=alive)
+    and the non-cluster tiers simply call that pair (they don't sort).
+    key_hint: see ray_intersect; it should key on d_next's octant (the
+    closest sweep profits more from direction coherence than the
+    early-exiting any-hit)."""
+    if not cfg.use_cluster:
+        occ = does_intersect(scene, cfg, origin, d_shadow, shadow_max_t,
+                             alive=alive)
+        it = ray_intersect(scene, cfg, origin, d_next, alive=alive)
+        return occ, it
+    from . import cluster_pallas as _cp
+    N = origin.shape[0]
+    sfar = jnp.full((N,), FAR, jnp.float32) if shadow_max_t is None \
+        else jnp.where(shadow_max_t > 0.0, shadow_max_t - RAY_EPS, FAR)
+    nfar = jnp.full((N,), FAR, jnp.float32)
+    if alive is not None:
+        sfar = jnp.where(alive, sfar, -3e38)
+        nfar = jnp.where(alive, nfar, -3e38)
+    key = key_hint if key_hint is not None \
+        else _cp.primary_cluster_key(scene, origin, d_next, nfar)
+    o_s, ds_s, dn_s, sf_s, nf_s, pos = _sort_by(
+        key, [origin, d_shadow, d_next, sfar, nfar,
+              jnp.arange(N, dtype=jnp.int32)])
+    occ = _cp.cluster_any_hit(scene, o_s, ds_s, sf_s)
+    if _cp.SHORTLIST:
+        t, wid = _cp.cluster_closest_raw(scene, o_s, dn_s, nf_s)
+        occ, t, wid = _sort_by(pos, [occ, t, wid])
+        gid, u, v, ng, obj = _cp._resolve_winner(scene, wid, t, origin,
+                                                 d_next)
+        cid = jnp.where(wid >= 0, wid // scene.cl_rows.shape[2], -1)
+        it = _assemble_interaction(scene, cfg, origin, d_next, t, gid, u,
+                                   v, jnp.zeros((N,), bool), pre_ng=ng,
+                                   pre_obj=obj, pre_final=True,
+                                   pre_cid=cid)
+        return occ, it
+    t, gid, u, v, ng, obj = _cp.cluster_closest_hit(scene, o_s, dn_s,
+                                                    nf_s)
+    occ, t, gid, u, v, ng, obj = _sort_by(pos,
+                                          [occ, t, gid, u, v, ng, obj])
+    it = _assemble_interaction(scene, cfg, origin, d_next, t, gid, u, v,
+                               jnp.zeros((N,), bool), pre_ng=ng,
+                               pre_obj=obj, pre_final=True)
+    return occ, it
 
 
 def does_intersect(scene, cfg, ray_o, ray_d, max_t=None, alive=None,

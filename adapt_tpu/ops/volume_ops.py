@@ -168,8 +168,10 @@ def _compact_rounds(crossing, inputs, outputs, round_fn):
     # their lane (treating original-order defaults as sorted-space would
     # silently hand lanes each other's state; today's callers pass
     # constants, but the contract allows e.g. a running throughput)
+    # seg=0: the round count below needs GLOBAL front-compaction; a
+    # segmented sort (intersect.SORT_SEG) only compacts per segment
     vals = _sort_by(key_order, [inputs[k] for k in inputs]
-                    + [outputs[k] for k in outputs] + [lane])
+                    + [outputs[k] for k in outputs] + [lane], seg=0)
     ins_s = dict(zip(inputs, vals[:len(inputs)]))
     outs_s = dict(zip(outputs, vals[len(inputs):-1]))
     lane_s = vals[-1]
@@ -211,7 +213,7 @@ def _compact_rounds(crossing, inputs, outputs, round_fn):
     if pad_n:
         outs_s = {k: v[:N] for k, v in outs_s.items()}
     # restore original lane order (sort by lane id — dense, no gathers)
-    restored = _sort_by(lane_s, [outs_s[k] for k in outputs])
+    restored = _sort_by(lane_s, [outs_s[k] for k in outputs], seg=0)
     return dict(zip(outputs, restored))
 
 

@@ -32,8 +32,9 @@ def main():
 
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     scene, cfg, _ = load_scene(os.path.join(here, "scenes", "cbox"),
-                               "cbox.xml")
-    cfg = dataclasses.replace(cfg, max_bounce=8)
+                               os.environ.get("SCENE", "cbox.xml"))
+    cfg = dataclasses.replace(cfg, max_bounce=int(
+        os.environ.get("BOUNCES", "8")))
     iters = int(os.environ.get("BENCH_ITERS", "32"))
     fuse = int(os.environ.get("BENCH_FUSE", "4"))
     key = jax.random.PRNGKey(0)

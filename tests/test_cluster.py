@@ -188,3 +188,34 @@ def test_cluster_alive_culling(knot):
     occ = does_intersect(scene, ccfg, ro, rd, alive=alive)
     assert not np.asarray(occ)[~a].any()
     assert (np.asarray(occ)[a] == np.asarray(occ_ref)[a]).all()
+
+
+def test_intersect_pair_matches_separate_calls(knot):
+    """The fused shadow+continuation intersect (one wavefront sort) is
+    bit-identical to the separate does_intersect + ray_intersect calls
+    on the cluster tier, including dead-lane forced misses."""
+    scene, cfg = knot
+    from adapt_tpu.ops.intersect import (ray_intersect, does_intersect,
+                                         intersect_pair)
+    ro, rd = _rays(scene, cfg, jax.random.PRNGKey(21))
+    N = ro.shape[0]
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(5), 3)
+    d_shadow = jax.random.normal(k1, rd.shape)
+    d_shadow = d_shadow / jnp.linalg.norm(d_shadow, axis=-1, keepdims=True)
+    sfar = jax.random.uniform(k2, (N,), minval=0.5, maxval=4.0)
+    alive = jax.random.uniform(k3, (N,)) < 0.7
+    ccfg = dataclasses.replace(cfg, use_cluster=True)
+
+    occ_ref = does_intersect(scene, ccfg, ro, d_shadow, sfar, alive=alive)
+    it_ref = ray_intersect(scene, ccfg, ro, rd, alive=alive)
+    occ, it = intersect_pair(scene, ccfg, ro, d_shadow, sfar, rd,
+                             alive=alive)
+    assert (np.asarray(occ) == np.asarray(occ_ref)).all()
+    assert (np.asarray(it.prim_id) == np.asarray(it_ref.prim_id)).all()
+    assert (np.asarray(it.obj_id) == np.asarray(it_ref.obj_id)).all()
+    np.testing.assert_allclose(np.asarray(it.t), np.asarray(it_ref.t),
+                               rtol=2e-6)
+    np.testing.assert_allclose(np.asarray(it.uv), np.asarray(it_ref.uv),
+                               rtol=2e-4, atol=5e-5)
+    np.testing.assert_allclose(np.asarray(it.n_g), np.asarray(it_ref.n_g),
+                               rtol=2e-5, atol=2e-6)
