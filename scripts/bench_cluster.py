@@ -84,12 +84,13 @@ def full_render():
                                os.environ.get("SCENE", "knot290k.xml"))
     key = jax.random.PRNGKey(0)
     spp = int(os.environ.get("SPP", "1"))
+    fuse = int(os.environ.get("FUSE", "1"))
     jax.block_until_ready(render_batch_pt(scene, cfg, key, jnp.int32(1),
-                                          spp, 1))
+                                          spp, fuse))
     dt = timed(lambda: render_batch_pt(scene, cfg, key, jnp.int32(1),
-                                       spp, 1), reps=3)
-    print(f"full PT render: {dt/spp:8.2f} s/spp ({cfg.max_bounce} bounces)",
-          flush=True)
+                                       spp, fuse), reps=3)
+    print(f"full PT render: {dt/spp:8.2f} s/spp ({cfg.max_bounce} bounces, "
+          f"spp={spp} fuse={fuse})", flush=True)
 
 
 if __name__ == "__main__" and os.environ.get("RENDER"):
