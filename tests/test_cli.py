@@ -7,12 +7,28 @@ import os
 import pickle
 import subprocess
 import sys
+import threading
 import urllib.request
 
 import numpy as np
 import pytest
 
 REPO = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..")
+
+
+def _read_port(proc, marker):
+    """Read proc stdout lines until `marker`, return the port, then keep
+    DRAINING stdout in a daemon thread: once the reader stops, the 64 KB
+    pipe buffer fills with rich progress output and the render blocks on
+    a write — the r2 test_cli_serve_preview flake."""
+    port = None
+    for line in proc.stdout:
+        if marker in line:
+            port = int(line.rsplit(":", 1)[1].strip().rstrip("/"))
+            break
+    threading.Thread(target=lambda: [None for _ in proc.stdout],
+                     daemon=True).start()
+    return port
 
 
 def _run(args, tmp, timeout=240):
@@ -111,11 +127,7 @@ def test_scene_viz_flythrough(tmpdir_mod):
         cwd=tmp, env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
         text=True)
     try:
-        port = None
-        for line in proc.stdout:
-            if "flythrough: http" in line:
-                port = int(line.rsplit(":", 1)[1].strip().rstrip("/"))
-                break
+        port = _read_port(proc, "flythrough: http")
         assert port, "no URL printed"
         with urllib.request.urlopen(
                 f"http://127.0.0.1:{port}/key?k=w", timeout=120) as rsp:
@@ -153,15 +165,15 @@ def test_cli_serve_preview(tmpdir_mod):
         cwd=tmp, env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
         text=True)
     try:
-        port = None
-        for line in proc.stdout:
-            if "live preview: http" in line:
-                port = int(line.rsplit(":", 1)[1].strip().rstrip("/"))
-                break
+        port = _read_port(proc, "live preview: http")
         assert port, "no preview URL printed"
-        # poll until a preview PNG is served (first render pass compiles)
-        png = None
-        for _ in range(120):
+        # poll until a preview PNG is served (first render pass compiles;
+        # the server 503s until the first frame is published)
+        import time
+        png, last_err = None, None
+        for _ in range(180):
+            if proc.poll() is not None:
+                break       # render finished — server gone; fail below
             try:
                 with urllib.request.urlopen(
                         f"http://127.0.0.1:{port}/frame.png",
@@ -169,11 +181,10 @@ def test_cli_serve_preview(tmpdir_mod):
                     png = r.read()
                 if png[:4] == b"\x89PNG":
                     break
-            except Exception:
-                pass
-            import time
+            except Exception as e:
+                last_err = e
             time.sleep(1)
-        assert png and png[:4] == b"\x89PNG"
+        assert png and png[:4] == b"\x89PNG", (png, last_err, proc.poll())
     finally:
         proc.terminate()
         proc.wait(timeout=30)
