@@ -16,6 +16,11 @@ class BRDFTag:
     FRESNEL_BLEND = 5
     OREN_NAYAR    = 6
     THIN_COAT     = 7
+    # BxDF mixture (reference bxdf/mixture.py — live only on its `more`
+    # branch; no numeric tag exists on main, 8 is free). Never appears in
+    # cfg.brdf_types: mixture lanes are overlaid on top of the component
+    # dispatch (ops/mixture_ops.py), not routed through the eval tables.
+    MIXTURE       = 8
 
 
 class BSDFTag:

@@ -67,7 +67,15 @@ def gather_mat(scene, obj_id) -> MatParams:
 
 
 def diffuse_color(mat, it):
-    """Texture override of k_d (reference brdf.py:181 et al.)."""
+    """Texture override of k_d (reference brdf.py:181 et al.).
+
+    it.tex is None — STATICALLY — when the scene has no albedo textures
+    (ops/intersect.py _assemble_interaction): the select below then
+    vanishes from the graph and, more importantly, the tex plane never
+    enters the PT bounce-loop carry. Carrying even a dead constant plane
+    there measurably breaks XLA fusion (r2's 31% flagship regression)."""
+    if it.tex is None:
+        return mat.kd
     tex_valid = it.tex[..., 0] >= 0.0
     return jnp.where(tex_valid[..., None], it.tex, mat.kd)
 
@@ -686,9 +694,20 @@ def _apply_two_sides(cfg, mat, it, incid):
     return dataclasses.replace(it, n_s=n_s, n_g=n_g)
 
 
+def _mixture_lanes(scene, it):
+    """(clamped mixture row, lane-is-mixture mask) for the overlay."""
+    from .gather import tgather
+    mix_id = tgather(scene.obj_mixture, jnp.maximum(it.obj_id, 0))
+    return jnp.maximum(mix_id, 0), (it.obj_id >= 0) & (mix_id >= 0)
+
+
 def surface_eval(cfg, mat, it, incid, out, world_ior,
-                 mode=TRANSPORT_UNI):
-    """PathTracer.eval for surface interactions (path_tracer.py:459-479)."""
+                 mode=TRANSPORT_UNI, scene=None):
+    """PathTracer.eval for surface interactions (path_tracer.py:459-479).
+
+    scene: pass the SceneData to enable BxDF-mixture lanes (reference
+    bxdf/mixture.py, `more` branch). Statically free when the scene has
+    no mixtures (scene.mixture is None) or scene is omitted."""
     it = _apply_two_sides(cfg, mat, it, incid)
     res = jnp.zeros_like(mat.kd)
     if cfg.brdf_types:
@@ -698,11 +717,19 @@ def surface_eval(cfg, mat, it, incid, out, world_ior,
         res = jnp.where(mat.is_bsdf[..., None],
                         bsdf_eval(cfg, mat, it, incid, out, world_ior, mode),
                         res)
+    if scene is not None and scene.mixture is not None:
+        from . import mixture_ops
+        mid, is_mix = _mixture_lanes(scene, it)
+        m_res = mixture_ops.mixture_eval(scene, cfg, scene.mixture, mid,
+                                         it, incid, out, world_ior, mode)
+        res = jnp.where(is_mix[..., None], m_res, res)
     return res
 
 
-def surface_sample(cfg, mat, it, incid, u, world_ior, mode=TRANSPORT_UNI):
-    """PathTracer.sample_new_ray surface path (path_tracer.py:447-457)."""
+def surface_sample(cfg, mat, it, incid, u, world_ior, mode=TRANSPORT_UNI,
+                   scene=None):
+    """PathTracer.sample_new_ray surface path (path_tracer.py:447-457).
+    scene: see surface_eval (mixture lanes)."""
     it = _apply_two_sides(cfg, mat, it, incid)
     N = incid.shape[0]
     out = jnp.tile(jnp.array([0.0, 1.0, 0.0], jnp.float32), (N, 1))
@@ -724,11 +751,21 @@ def surface_sample(cfg, mat, it, incid, u, world_ior, mode=TRANSPORT_UNI):
         spec = jnp.where(sel[..., None], s_spec, spec)
         pdf = jnp.where(sel, s_pdf, pdf)
         is_specular = jnp.where(sel, s_del, is_specular)
+    if scene is not None and scene.mixture is not None:
+        from . import mixture_ops
+        mid, is_mix = _mixture_lanes(scene, it)
+        m_out, m_spec, m_pdf, m_del = mixture_ops.mixture_sample(
+            scene, cfg, scene.mixture, mid, it, incid, u, world_ior, mode)
+        out = jnp.where(is_mix[..., None], m_out, out)
+        spec = jnp.where(is_mix[..., None], m_spec, spec)
+        pdf = jnp.where(is_mix, m_pdf, pdf)
+        is_specular = jnp.where(is_mix, m_del, is_specular)
     return out, spec, pdf, is_specular
 
 
-def surface_pdf(cfg, mat, it, outdir, incid, world_ior):
-    """PathTracer.surface_pdf (path_tracer.py:481-494)."""
+def surface_pdf(cfg, mat, it, outdir, incid, world_ior, scene=None):
+    """PathTracer.surface_pdf (path_tracer.py:481-494).
+    scene: see surface_eval (mixture lanes)."""
     it = _apply_two_sides(cfg, mat, it, incid)
     pdf = jnp.zeros(incid.shape[:-1], jnp.float32)
     if cfg.brdf_types:
@@ -737,4 +774,10 @@ def surface_pdf(cfg, mat, it, outdir, incid, world_ior):
     if cfg.bsdf_types:
         pdf = jnp.where(mat.is_bsdf,
                         bsdf_pdf(cfg, mat, it, outdir, incid, world_ior), pdf)
+    if scene is not None and scene.mixture is not None:
+        from . import mixture_ops
+        mid, is_mix = _mixture_lanes(scene, it)
+        m_pdf = mixture_ops.mixture_pdf(scene, cfg, scene.mixture, mid,
+                                        it, outdir, incid, world_ior)
+        pdf = jnp.where(is_mix, m_pdf, pdf)
     return pdf

@@ -321,7 +321,11 @@ def _assemble_interaction(scene, cfg, ray_o, ray_d, best_t, best_prim,
         t=best_t,
         n_g=n_g, n_s=n_s,
         uv=jnp.stack([best_u, best_v], axis=-1),
-        tex=jnp.full((N, 3), -1.0, jnp.float32),
+        # STATICALLY None when the scene has no albedo textures: keeps
+        # the (dead) tex plane out of integrator loop carries, where a
+        # constant plane measurably broke bounce-loop fusion (r2 -31%)
+        tex=(jnp.full((N, 3), -1.0, jnp.float32)
+             if scene.tex["albedo"].present else None),
         cid=(jnp.full((N,), -1, jnp.int32) if pre_cid is None
              else pre_cid.astype(jnp.int32)),
     )

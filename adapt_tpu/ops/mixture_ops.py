@@ -51,12 +51,14 @@ def _component_mats(scene, mix, mix_id):
     return mats, probs, present
 
 
-def mixture_eval(scene, cfg, mix, mix_id, it, incid, out, world_ior):
+def mixture_eval(scene, cfg, mix, mix_id, it, incid, out, world_ior,
+                 mode=bxdf_ops.TRANSPORT_UNI):
     """Proportion-weighted sum of component evals (mixture.py:62-80)."""
     mats, probs, present = _component_mats(scene, mix, mix_id)
     res = jnp.zeros((incid.shape[0], 3), jnp.float32)
     for c in range(N_COMPONENTS):
-        ev = bxdf_ops.surface_eval(cfg, mats[c], it, incid, out, world_ior)
+        ev = bxdf_ops.surface_eval(cfg, mats[c], it, incid, out, world_ior,
+                                   mode)
         w = jnp.where(present[:, c], probs[:, c], 0.0)
         res = res + ev * w[:, None]
     return res
@@ -72,7 +74,8 @@ def mixture_pdf(scene, cfg, mix, mix_id, it, outdir, incid, world_ior):
     return pdf
 
 
-def mixture_sample(scene, cfg, mix, mix_id, it, incid, u, world_ior):
+def mixture_sample(scene, cfg, mix, mix_id, it, incid, u, world_ior,
+                   mode=bxdf_ops.TRANSPORT_UNI):
     """Pick a component by proportion, delegate sampling, scale the pdf
     (mixture.py:46-60). Returns (dir, spec, pdf, is_specular); lanes whose
     pick falls in the absorbed remainder return zero spec."""
@@ -89,7 +92,7 @@ def mixture_sample(scene, cfg, mix, mix_id, it, incid, u, world_ior):
     for c in range(N_COMPONENTS):
         m = comp == c
         d, s, p, isp = bxdf_ops.surface_sample(cfg, mats[c], it, incid, u,
-                                               world_ior)
+                                               world_ior, mode)
         out = jnp.where(m[:, None], d, out)
         spec = jnp.where(m[:, None], s, spec)
         pdf = jnp.where(m, p * probs[:, c], pdf)

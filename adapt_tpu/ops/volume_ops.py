@@ -25,13 +25,14 @@ from .gather import select_along, tgather
 MAX_STEPS = 1024
 
 
-def _register(cls):
+def _register(cls, meta=()):
     fields = [f.name for f in dataclasses.fields(cls)]
-    jax.tree_util.register_dataclass(cls, data_fields=fields, meta_fields=[])
+    jax.tree_util.register_dataclass(
+        cls, data_fields=[f for f in fields if f not in meta],
+        meta_fields=list(meta))
     return cls
 
 
-@_register
 @dataclasses.dataclass
 class GridVolumeData:
     """Device-side grid volume (reference volume.py:239-261).
@@ -44,10 +45,19 @@ class GridVolumeData:
     trans: jnp.ndarray      # (3,) translation
     mini: jnp.ndarray       # (3,) world AABB
     maxi: jnp.ndarray
-    majorant: jnp.ndarray   # (3,)
+    majorant: jnp.ndarray   # (3,) global majorants (spectral pick pdf)
     pdf: jnp.ndarray        # (3,) majorant / sum
     ph_par: jnp.ndarray     # (3,) phase params
     ph_pdf: jnp.ndarray     # (3,) multi-HG lobe weights
+    # (3, SZ, SY, SX) per-supervoxel LOCAL majorants (dilated blockwise
+    # maxima): the tracking marches at the local rate and DDA-skips
+    # supervoxel boundaries, cutting collision candidates ~mean(local)/
+    # global (0.055 on the cbox-volgrid tornado at sv_size=16)
+    sv_maj: jnp.ndarray
+    sv_size: int = 1        # STATIC supervoxel edge in voxels
+
+
+_register(GridVolumeData, meta=("sv_size",))
 
 
 def dummy_volume() -> GridVolumeData:
@@ -56,7 +66,39 @@ def dummy_volume() -> GridVolumeData:
         grid=jnp.zeros((3, 1, 1, 1), jnp.float32), albedo=jnp.ones(3),
         inv_T=jnp.eye(3), trans=z3, mini=z3, maxi=z3,
         majorant=jnp.ones(3), pdf=jnp.full(3, 1 / 3), ph_par=z3,
-        ph_pdf=jnp.array([1.0, 0.0, 0.0]))
+        ph_pdf=jnp.array([1.0, 0.0, 0.0]),
+        sv_maj=jnp.zeros((3, 1, 1, 1), jnp.float32), sv_size=1)
+
+
+SV_AXIS_CAP = 8     # supervoxel grid axes <= 8 keeps the factorized
+#                     one-hot lookup's row dim (3*SZ*SY) <= 192
+
+
+def _supervoxel_majorants(dens):
+    """(3, Z, Y, X) density -> (sv_size, (3, SZ, SY, SX) local majorants).
+
+    Each supervoxel's value is the max density over its block DILATED by
+    one voxel on every side: _density_lookup's stochastic NN jitter
+    (pos + u - 0.5) can read a neighbor voxel of the sample position, so
+    the local majorant must cover it. Outside-grid padding is density 0."""
+    import numpy as np
+    _, Z, Y, X = dens.shape
+    S = 8
+    while max(Z, Y, X) > S * SV_AXIS_CAP:
+        S *= 2
+
+    d = np.asarray(dens)
+    for ax in (1, 2, 3):            # separable radius-1 max filter
+        p = np.concatenate([d.take([0], ax), d, d.take([-1], ax)], axis=ax)
+        n = d.shape[ax]
+        d = np.maximum(np.maximum(p.take(range(0, n), ax),
+                                  p.take(range(1, n + 1), ax)),
+                       p.take(range(2, n + 2), ax))
+    pz, py, px = [(-n) % S for n in (Z, Y, X)]
+    d = np.pad(d, ((0, 0), (0, pz), (0, py), (0, px)))
+    sv = d.reshape(3, (Z + pz) // S, S, (Y + py) // S, S,
+                   (X + px) // S, S).max(axis=(2, 4, 6))
+    return S, sv.astype(np.float32)
 
 
 def compile_volume(rec) -> GridVolumeData:
@@ -64,6 +106,8 @@ def compile_volume(rec) -> GridVolumeData:
     import numpy as np
     mini, maxi = rec.world_aabb()
     maj = rec.majorant()
+    grid_cm = np.moveaxis(rec.density_grid, -1, 0)
+    sv_size, sv_maj = _supervoxel_majorants(grid_cm)
     return GridVolumeData(
         # channel-major (3, Z, Y, X): a trailing size-3 axis would be the
         # minor dim of a ~GB HBM array and pad 3 -> 128 lanes under TPU
@@ -71,7 +115,7 @@ def compile_volume(rec) -> GridVolumeData:
         # vertex buffers) — 43x memory for the 256^3 tornado grid — and
         # every per-lane gather would fetch all three channels' tiles
         # when the march only ever consumes the picked one.
-        grid=jnp.asarray(np.moveaxis(rec.density_grid, -1, 0)),
+        grid=jnp.asarray(grid_cm),
         albedo=jnp.asarray(rec.albedo),
         inv_T=jnp.asarray(rec.inv_T),
         trans=jnp.asarray(rec.offset),
@@ -80,7 +124,9 @@ def compile_volume(rec) -> GridVolumeData:
         majorant=jnp.asarray(maj),
         pdf=jnp.asarray(maj / maj.sum()),
         ph_par=jnp.asarray(rec.par),
-        ph_pdf=jnp.asarray(rec.phase_pdf))
+        ph_pdf=jnp.asarray(rec.phase_pdf),
+        sv_maj=jnp.asarray(sv_maj),
+        sv_size=int(sv_size))
 
 
 def intersect_volume(vol, ray_o, ray_d, max_t):
@@ -123,6 +169,58 @@ def _pick_channel(vol, thp, u):
     pdf = select_along(pdfs, ch)
     maj = tgather(vol.majorant, ch)
     return ch, pdf, maj
+
+
+def _sv_lookup(vol, svi, ch):
+    """Local majorant at integer supervoxel coords svi (n,3)=(x,y,z) for
+    the picked channel.
+
+    Factorized one-hot instead of a per-lane gather (CLAUDE.md rule 1):
+    one MXU contraction over the (ch, z, y) rows (<= 3*8*8 = 192 by
+    SV_AXIS_CAP) followed by a VPU lane-select over x. One-hot weights
+    are bf16-exact, and the package pins matmul precision to highest, so
+    the lookup reproduces table values exactly — a rounded-down majorant
+    would break the tracking's correctness."""
+    M = vol.sv_maj
+    _, SZ, SY, SX = M.shape
+    rows = 3 * SZ * SY
+    ridx = (ch * SZ + svi[:, 2]) * SY + svi[:, 1]
+    oh = (ridx[:, None] == jnp.arange(rows, dtype=ridx.dtype)) \
+        .astype(jnp.float32)
+    T1 = oh @ M.reshape(rows, SX)
+    return select_along(T1, svi[:, 0])
+
+
+def _sv_step(vol, lo, ld, ch, t, u_flight, far):
+    """One hierarchical-majorant step from parameter t.
+
+    Returns (m_loc, t_cand, t_hop): the local majorant at t's
+    supervoxel, the sampled collision-candidate parameter (inf where the
+    local majorant is 0), and the parameter just past the supervoxel's
+    exit. The caller takes the candidate when t_cand <= min(t_hop, far),
+    else hops — exact null-collision tracking with a piecewise-constant
+    majorant (the exponential's memorylessness makes restarting the
+    flight at each boundary unbiased)."""
+    S = float(vol.sv_size)
+    _, SZ, SY, SX = vol.sv_maj.shape
+    dims = jnp.array([SX, SY, SZ], jnp.int32)
+    pos = lo + t[:, None] * ld
+    svi = jnp.clip(jnp.floor(pos / S).astype(jnp.int32), 0, dims - 1)
+    m_loc = _sv_lookup(vol, svi, ch)
+
+    b_lo = svi.astype(jnp.float32) * S
+    bound = jnp.where(ld > 0.0, b_lo + S, b_lo)
+    safe_d = jnp.where(jnp.abs(ld) < 1e-9, 1e-9, ld)
+    t_ax = jnp.where(jnp.abs(ld) < 1e-9, jnp.inf, (bound - lo) / safe_d)
+    # nudge past the boundary by >= 1e-3 voxel so fp rounding can't
+    # re-enter the same supervoxel and stall the walk
+    nudge = 1e-3 / jnp.maximum(jnp.max(jnp.abs(ld), -1), 1e-12)
+    t_hop = jnp.maximum(t_ax.min(-1), t) + nudge
+
+    dt = jnp.where(m_loc > 0.0,
+                   -jnp.log1p(-u_flight) / jnp.maximum(m_loc, 1e-12),
+                   jnp.inf)
+    return m_loc, t + dt, t_hop
 
 
 def _one_hot_tr(kind, tr, pdf, ch):
@@ -229,27 +327,24 @@ def sample_distance_delta_tracking(vol, kind, key, ray_o, ray_d, thp,
     N = ray_o.shape[0]
     near, far = intersect_volume(vol, ray_o, ray_d, max_t)
     lo, ld = _to_local(vol, ray_o, ray_d)
-    key, k_ch, k_t0 = jax.random.split(key, 3)
+    key, k_ch = jax.random.split(key)
     u_ch = jax.random.uniform(k_ch, (N,))
-    ch, pdf, maj = _pick_channel(vol, thp, u_ch)
-    inv_maj = 1.0 / maj
+    ch, pdf, _maj = _pick_channel(vol, thp, u_ch)
 
-    t0 = near - jnp.log(1.0 - jax.random.uniform(k_t0, (N,))) * inv_maj
-    crossing = (near < far) & (far > 0.0) & (t0 < far)
+    crossing = (near < far) & (far > 0.0)
     if active is not None:
         crossing &= active
 
     # sorted-space operands kept minimal (sort cost scales with payload);
     # per-channel constants rebuild from `ch` inside the round
-    inputs = dict(lo=lo, ld=ld, far=far, ch=ch, t0=t0)
+    inputs = dict(lo=lo, ld=ld, near=near, far=far, ch=ch)
     outputs = dict(hit_t=jnp.full((N,), -1.0),
                    tr=jnp.ones((N,), jnp.float32))
 
     def round_fn(r, ins, outs, live):
-        n = ins["t0"].shape[0]
-        inv_m = 1.0 / tgather(vol.majorant, ins["ch"])
+        n = ins["near"].shape[0]
         alb = tgather(vol.albedo, ins["ch"])
-        state = dict(t=ins["t0"], tr=outs["tr"], hit_t=outs["hit_t"],
+        state = dict(t=ins["near"], tr=outs["tr"], hit_t=outs["hit_t"],
                      done=~live, step=jnp.int32(0))
 
         def cond(st):
@@ -258,12 +353,17 @@ def sample_distance_delta_tracking(vol, kind, key, ray_o, ray_d, thp,
         def body(st):
             k = jax.random.fold_in(key, r * (MAX_STEPS + 1) + st["step"])
             u = jax.random.uniform(k, (n, 5))
-            n_t = _density_lookup(vol, ins["lo"] + st["t"][:, None]
+            m_loc, t_cand, t_hop = _sv_step(vol, ins["lo"], ins["ld"],
+                                            ins["ch"], st["t"], u[:, 4],
+                                            ins["far"])
+            is_cand = (~st["done"]) & (t_cand <= jnp.minimum(t_hop,
+                                                             ins["far"]))
+            n_t = _density_lookup(vol, ins["lo"] + t_cand[:, None]
                                   * ins["ld"], u[:, :3], ins["ch"])
-            collide = (~st["done"]) & (u[:, 3] < n_t * inv_m)
-            hit_t = jnp.where(collide, st["t"], st["hit_t"])
+            collide = is_cand & (u[:, 3] * jnp.maximum(m_loc, 1e-12) < n_t)
+            hit_t = jnp.where(collide, t_cand, st["hit_t"])
             tr = jnp.where(collide, st["tr"] * alb, st["tr"])
-            t = st["t"] - jnp.log(1.0 - u[:, 4]) * inv_m
+            t = jnp.where(is_cand, t_cand, t_hop)
             done = st["done"] | collide | (t >= ins["far"])
             return dict(t=t, tr=tr, hit_t=hit_t, done=done,
                         step=st["step"] + 1)
@@ -297,7 +397,6 @@ def eval_tr_ratio_tracking(vol, kind, key, ray_o, ray_d, thp, max_t,
 
     def round_fn(r, ins, outs, live0):
         n = ins["near"].shape[0]
-        inv_m = 1.0 / tgather(vol.majorant, ins["ch"])
         state = dict(t=ins["near"], tr=outs["tr"], done=~live0,
                      step=jnp.int32(0))
 
@@ -307,15 +406,20 @@ def eval_tr_ratio_tracking(vol, kind, key, ray_o, ray_d, thp, max_t,
         def body(st):
             k = jax.random.fold_in(key, r * (MAX_STEPS + 1) + st["step"])
             u = jax.random.uniform(k, (n, 5))
-            t = st["t"] - jnp.log(1.0 - u[:, 4]) * inv_m
+            m_loc, t_cand, t_hop = _sv_step(vol, ins["lo"], ins["ld"],
+                                            ins["ch"], st["t"], u[:, 4],
+                                            ins["far"])
+            t = jnp.where(t_cand <= t_hop, t_cand, t_hop)
             exited = t >= ins["far"]
+            is_cand = ~st["done"] & ~exited & (t_cand <= t_hop)
             n_t = _density_lookup(vol, ins["lo"] + t[:, None]
                                   * ins["ld"], u[:, :3], ins["ch"])
-            live = ~st["done"] & ~exited
-            tr = jnp.where(live, st["tr"] * jnp.maximum(
-                0.0, 1.0 - n_t * inv_m), st["tr"])
+            # ratio factor at the LOCAL rate; hop steps leave tr alone
+            # (exact: piecewise-constant-majorant ratio tracking)
+            tr = jnp.where(is_cand, st["tr"] * jnp.maximum(
+                0.0, 1.0 - n_t / jnp.maximum(m_loc, 1e-12)), st["tr"])
             # Russian roulette on low transmittance (volume.py:448-453)
-            rr = live & (tr < 0.1)
+            rr = is_cand & (tr < 0.1)
             killed = rr & (u[:, 3] >= tr)
             tr = jnp.where(killed, 0.0, jnp.where(rr, 1.0, tr))
             done = st["done"] | exited | killed

@@ -150,6 +150,11 @@ def scene_parsing(directory: str, file: str):
     bxdf_dict = {}
     for node in bxdf_nodes:
         bxdf_dict[node.get("id")] = parse_bxdf_node(node)
+    # bind mixture component references now that every BxDF is declared
+    from ..scene.bxdf import Mixture_np
+    for item in bxdf_dict.values():
+        if isinstance(item, Mixture_np):
+            item.resolve(bxdf_dict)
     teximgs, textures = parse_textures(texture_nodes)
     array_info, objects, area_lut, has_vn = parse_wavefront(
         directory, shape_nodes, bxdf_dict, emitter_dict, textures)

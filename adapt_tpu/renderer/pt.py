@@ -165,7 +165,8 @@ def trace_pt(scene, cfg, key, ray_o, ray_d):
         key, k_bsdf = jax.random.split(key)
         u_bsdf = jax.random.uniform(k_bsdf, (N, 6))
         new_dir, indirect_spec, ray_pdf, is_specular = \
-            bxdf_ops.surface_sample(cfg, mat, it, ray_d, u_bsdf, world_ior)
+            bxdf_ops.surface_sample(cfg, mat, it, ray_d, u_bsdf, world_ior,
+                                    scene=scene)
 
         # (a fused shadow+continuation intersect — ops/intersect.py
         # intersect_pair — measured a LOSS here: knot290k 12-bounce 512^2
@@ -193,11 +194,13 @@ def trace_pt(scene, cfg, key, ray_o, ray_d):
                 key_hint=cluster_key_hint(scene, cfg, it, light_dir,
                                           active))
             direct_spec = bxdf_ops.surface_eval(cfg, mat, it, ray_d,
-                                                light_dir, world_ior)
+                                                light_dir, world_ior,
+                                                scene=scene)
             if cfg.use_mis:
                 light_pdf = emitter_pdf * direct_pdf
                 bsdf_pdf = bxdf_ops.surface_pdf(cfg, mat, it, light_dir,
-                                                ray_d, world_ior)
+                                                ray_d, world_ior,
+                                                scene=scene)
                 mis_w = jnp.where(emitter_ops.is_delta_pos(scene, eid), 1.0,
                                   balance_heuristic(light_pdf, bsdf_pdf))
             else:

@@ -292,8 +292,12 @@ def trace_vpt(scene, cfg, key, ray_o, ray_d):
         mat = bxdf_ops.gather_mat(scene, obj_id)
         hit_light = jnp.where(is_mi | miss, -1, mat.emit)
         it = process_ns(scene, cfg, it)
-        tex, _ = get_uv_item(scene, scene.tex["albedo"], it)
-        it_s = dataclasses.replace(it, tex=tex)
+        # static identity for untextured scenes (it.tex stays None; see
+        # ops/intersect.py / bxdf_ops.diffuse_color)
+        it_s = it
+        if scene.tex["albedo"].present:
+            tex, _ = get_uv_item(scene, scene.tex["albedo"], it)
+            it_s = dataclasses.replace(it, tex=tex)
 
         # --- NEE with transmittance (vpt.py:194-237) ---
         direct_int = jnp.zeros((N, 3), jnp.float32)
@@ -319,7 +323,7 @@ def trace_vpt(scene, cfg, key, ray_o, ray_d):
                                            rows["ph_pdf"], ray_d, l_dir,
                                            phase_kinds)
             surf_val = bxdf_ops.surface_eval(cfg, mat, it_s, ray_d, l_dir,
-                                             world_ior)
+                                             world_ior, scene=scene)
             d_spec = jnp.where(is_mi[..., None],
                                jnp.broadcast_to(ph_val[..., None], (N, 3)),
                                surf_val)
@@ -328,7 +332,7 @@ def trace_vpt(scene, cfg, key, ray_o, ray_d):
                 bsdf_pdf = jnp.where(
                     is_mi, ph_val,
                     bxdf_ops.surface_pdf(cfg, mat, it_s, l_dir, ray_d,
-                                         world_ior))
+                                         world_ior, scene=scene))
                 mis_w = jnp.where(emitter_ops.is_delta_pos(scene, eid), 1.0,
                                   balance_heuristic(light_pdf, bsdf_pdf))
             else:
@@ -347,7 +351,7 @@ def trace_vpt(scene, cfg, key, ray_o, ray_d):
         key, k_new = jax.random.split(key)
         u_new = jax.random.uniform(k_new, (N, 6))
         s_dir, s_spec, s_pdf, is_specular = bxdf_ops.surface_sample(
-            cfg, mat, it_s, ray_d, u_new, world_ior)
+            cfg, mat, it_s, ray_d, u_new, world_ior, scene=scene)
         p_dir, p_val = medium_ops.phase_sample(
             rows["kind"], rows["ph_par"], rows["ph_pdf"], ray_d,
             u_new[:, :3], phase_kinds)

@@ -127,9 +127,94 @@ class BSDF_np(BRDF_np):
         return f"<BSDF {self.type} id={self.id} medium={self._medium!r}>"
 
 
+MIXTURE_SLOTS = ("diffuse", "glossy", "specular", "transmit")
+
+
+class Mixture_np:
+    """BxDF mixture host record (reference bxdf/mixture.py:30-50, live on
+    the reference's `more` branch only — here it parses whenever a scene
+    asks for it).
+
+    XML form:
+        <brdf type="mixture" id="coat">
+            <ref name="diffuse"  id="some-brdf-id"/>
+            <ref name="glossy"   id="other-brdf-id"/>
+            <float name="p_d" value="0.7"/>
+            <float name="p_g" value="0.3"/>
+        </brdf>
+    Component slots are diffuse/glossy/specular/transmit with proportions
+    p_d/p_g/p_s/p_t (mixture.py:35-50); proportions must sum to <= 1 (the
+    remainder absorbs, mixture.py:55-60). Components reference other
+    declared BxDFs by id and may not themselves be mixtures."""
+
+    is_bsdf = False
+    is_delta = False
+    type = "mixture"
+
+    def __init__(self, elem: xet.Element):
+        from ..constants import BRDFTag
+        self.id: str = elem.get("id")
+        self.type_id = BRDFTag.MIXTURE
+        # parse-time placeholders for the (unused) own material row
+        self.k_d = np.ones(3, np.float32)
+        self.k_s = np.zeros(3, np.float32)
+        self.k_g = np.ones(3, np.float32)
+        self.comp_ref: dict[str, str] = {}
+        self.components: dict = {}        # resolved by resolve()
+        self.probs = np.zeros(4, np.float32)
+        for ref in elem.findall("ref"):
+            slot = ref.get("name")
+            if slot not in MIXTURE_SLOTS:
+                raise ValueError(f"mixture <{self.id}>: unknown component "
+                                 f"slot '{slot}' (use {MIXTURE_SLOTS})")
+            self.comp_ref[slot] = ref.get("id")
+        for f in elem.findall("float"):
+            name = f.get("name")
+            if name in ("p_d", "p_g", "p_s", "p_t"):
+                self.probs[("p_d", "p_g", "p_s", "p_t").index(name)] = \
+                    float(f.get("value"))
+        if not self.comp_ref:
+            raise ValueError(f"mixture <{self.id}> has no components")
+        if self.probs.sum() > 1.0 + 1e-5:
+            raise ValueError(f"mixture <{self.id}> proportions sum to "
+                             f"{self.probs.sum():.4f} > 1")
+
+    def resolve(self, bxdf_dict: dict):
+        """Bind component id strings to their parsed records."""
+        for slot, ref_id in self.comp_ref.items():
+            if ref_id not in bxdf_dict:
+                raise KeyError(f"mixture <{self.id}>: component '{ref_id}' "
+                               "is not a declared BxDF")
+            comp = bxdf_dict[ref_id]
+            if isinstance(comp, Mixture_np):
+                raise ValueError(f"mixture <{self.id}>: component "
+                                 f"'{ref_id}' is itself a mixture")
+            si = MIXTURE_SLOTS.index(slot)
+            if slot == "transmit" and not comp.is_bsdf:
+                raise ValueError(f"mixture <{self.id}>: transmit slot "
+                                 f"needs a BSDF, got brdf '{ref_id}'")
+            if self.probs[si] <= 0.0:
+                warnings.warn(f"mixture <{self.id}>: component '{ref_id}' "
+                              f"({slot}) has zero proportion")
+            self.components[slot] = comp
+
+    @property
+    def mean(self) -> np.ndarray:
+        return np.ones(3, np.float32)
+
+    @property
+    def medium(self) -> MediumRec:
+        return MediumRec.transparent()
+
+    def __repr__(self):
+        return f"<Mixture id={self.id} {list(self.comp_ref)} {self.probs}>"
+
+
 def parse_bxdf_node(node: xet.Element):
     """Dispatch a <brdf>/<bsdf> element to the right host class
     (reference xml_parser.py:178-194)."""
+    if node.get("type") == "mixture":
+        return Mixture_np(node)
     if node.tag == "brdf":
         return BRDF_np(node)
     return BSDF_np(node)

@@ -116,6 +116,13 @@ class SceneData:
     mat_kg: jnp.ndarray
     mat_mean: jnp.ndarray     # (O,3) channel means (mod-phong sampling)
     medium: MediumTable       # (O,) attached media (transparent for BRDFs)
+    # NOTE: the "(O,)" material tables above (and obj_emitter) actually
+    # hold O + K rows when the scene declares BxDF mixtures: K component
+    # records are appended so mixture_ops delegates via ordinary row
+    # gathers. All other (O,) object tables stay length O.
+    mixture: Any              # ops.mixture_ops.MixtureTable | None (static
+                              # by pytree structure: None = no mixtures)
+    obj_mixture: jnp.ndarray  # (O+K,) i32 mixture-table row or -1
     # --- emitters (E) ---
     emit_kind: jnp.ndarray      # (E,) i32 EmitterTag
     emit_intensity: jnp.ndarray  # (E,3)
@@ -539,6 +546,46 @@ def compile_scene(emitters, array_info, objects, configs, scene_dir="."):
     world = configs["world"]
     mats = [obj.bxdf for obj in objects]
 
+    # --- BxDF mixtures (reference bxdf/mixture.py, `more`-branch feature):
+    # component records are appended as extra rows after the O per-object
+    # rows in every table gather_mat packs, so mixture_ops can delegate to
+    # them with the ordinary per-row material gather. obj_mixture maps an
+    # object row to its mixture-table row (-1 = plain material). ---
+    from .bxdf import Mixture_np
+    mix_list, mix_index = [], {}
+    for m in mats:
+        if isinstance(m, Mixture_np) and id(m) not in mix_index:
+            mix_index[id(m)] = len(mix_list)
+            mix_list.append(m)
+    pad_mats = list(mats)
+    row_of = {id(m): i for i, m in enumerate(mats) if not
+              isinstance(m, Mixture_np)}
+    for mx in mix_list:
+        for comp in mx.components.values():
+            if id(comp) not in row_of:
+                row_of[id(comp)] = len(pad_mats)
+                pad_mats.append(comp)
+    obj_mixture = np.full(len(pad_mats), -1, np.int32)
+    for i, m in enumerate(mats):
+        if isinstance(m, Mixture_np):
+            obj_mixture[i] = mix_index[id(m)]
+    if mix_list:
+        from ..ops.mixture_ops import MixtureTable, N_COMPONENTS
+        from .bxdf import MIXTURE_SLOTS
+        comp_ids = np.full((len(mix_list), N_COMPONENTS), -1, np.int32)
+        probs = np.zeros((len(mix_list), N_COMPONENTS), np.float32)
+        for mi, mx in enumerate(mix_list):
+            probs[mi] = mx.probs
+            for slot, comp in mx.components.items():
+                comp_ids[mi, MIXTURE_SLOTS.index(slot)] = row_of[id(comp)]
+        mixture_table = MixtureTable(comp_ids=jnp.asarray(comp_ids),
+                                     probs=jnp.asarray(probs))
+    else:
+        mixture_table = None
+    # dispatch tables cover component kinds; the MIXTURE tag itself never
+    # enters brdf_types (mixture lanes are overlaid, not table-dispatched)
+    disp_mats = [m for m in pad_mats if not isinstance(m, Mixture_np)]
+
     cfg = RenderConfig(
         w=w, h=h, focal=fov2focal(configs["fov"], min(w, h)),
         max_bounce=configs.get("max_bounce", 8),
@@ -552,16 +599,18 @@ def compile_scene(emitters, array_info, objects, configs, scene_dir="."):
         brdf_two_sides=bool(configs.get("brdf_two_sides", False)),
         has_v_normal=bool(configs.get("has_vertex_normal", False)),
         start_x=sx, end_x=ex, start_y=sy, end_y=ey,
-        brdf_types=tuple(sorted({m.type_id for m in mats if not m.is_bsdf})),
-        bsdf_types=tuple(sorted({m.type_id for m in mats if m.is_bsdf})),
+        brdf_types=tuple(sorted({m.type_id for m in disp_mats
+                                 if not m.is_bsdf})),
+        bsdf_types=tuple(sorted({m.type_id for m in disp_mats
+                                 if m.is_bsdf})),
         emitter_kinds=tuple(sorted({e.kind for e in emitters})),
         n_emitters=len(emitters),
         world_scattering=world.medium.is_scattering,
         medium_kinds=tuple(sorted(
-            {m.medium.type_id for m in mats if m.medium.type_id >= 0}
+            {m.medium.type_id for m in pad_mats if m.medium.type_id >= 0}
             | ({world.medium.type_id} if world.medium.is_scattering
                else set()))),
-        has_null_bsdf=any(m.is_bsdf and m.type_id < 0 for m in mats),
+        has_null_bsdf=any(m.is_bsdf and m.type_id < 0 for m in pad_mats),
         volume_kind=int(vol_rec.type_id),
         volume_phase=int(vol_rec.phase_type_id),
         use_bvh=use_bvh,
@@ -627,18 +676,27 @@ def compile_scene(emitters, array_info, objects, configs, scene_dir="."):
         obj_start=jnp.asarray(obj_start),
         obj_cnt=jnp.asarray(obj_cnt),
         obj_is_sphere=jnp.asarray(obj_is_sphere),
-        obj_emitter=jnp.asarray(
-            np.array([obj.emitter_ref_id for obj in objects], np.int32)),
+        obj_emitter=jnp.asarray(np.array(
+            [obj.emitter_ref_id for obj in objects]
+            + [-1] * (len(pad_mats) - len(mats)), np.int32)),
         obj_aabb_min=jnp.asarray(aabbs[:, 0]),
         obj_aabb_max=jnp.asarray(aabbs[:, 1]),
-        mat_type=jnp.asarray(np.array([m.type_id for m in mats], np.int32)),
-        mat_is_bsdf=jnp.asarray(np.array([m.is_bsdf for m in mats], bool)),
-        mat_is_delta=jnp.asarray(np.array([m.is_delta for m in mats], bool)),
-        mat_kd=jnp.asarray(np.stack([m.k_d for m in mats]).astype(np.float32)),
-        mat_ks=jnp.asarray(np.stack([m.k_s for m in mats]).astype(np.float32)),
-        mat_kg=jnp.asarray(np.stack([m.k_g for m in mats]).astype(np.float32)),
-        mat_mean=jnp.asarray(np.stack([m.mean for m in mats])),
-        medium=_medium_table([m.medium for m in mats]),
+        mat_type=jnp.asarray(np.array([m.type_id for m in pad_mats],
+                                      np.int32)),
+        mat_is_bsdf=jnp.asarray(np.array([m.is_bsdf for m in pad_mats],
+                                         bool)),
+        mat_is_delta=jnp.asarray(np.array([m.is_delta for m in pad_mats],
+                                          bool)),
+        mat_kd=jnp.asarray(np.stack([m.k_d for m in pad_mats])
+                           .astype(np.float32)),
+        mat_ks=jnp.asarray(np.stack([m.k_s for m in pad_mats])
+                           .astype(np.float32)),
+        mat_kg=jnp.asarray(np.stack([m.k_g for m in pad_mats])
+                           .astype(np.float32)),
+        mat_mean=jnp.asarray(np.stack([m.mean for m in pad_mats])),
+        medium=_medium_table([m.medium for m in pad_mats]),
+        mixture=mixture_table,
+        obj_mixture=jnp.asarray(obj_mixture),
         emit_kind=jnp.asarray(np.array([e.kind for e in emitters], np.int32)),
         emit_intensity=jnp.asarray(_stack3([e.intensity for e in emitters])),
         emit_pos=jnp.asarray(_stack3([e.pos for e in emitters])),

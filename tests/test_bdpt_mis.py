@@ -107,8 +107,8 @@ def _make_buffers(scene, cfg, path):
     pdf bookkeeping (bdpt_random_walk; reference bdpt.py:204-304)."""
     x0, (x1, n1, o1), (x2, n2, o2), (x3, n3, light_obj), eid = path
     D = 5
-    cam = B._vertex_buffers(1, D)
-    lit = B._vertex_buffers(1, D)
+    cam = B._vertex_buffers(1, D, False)
+    lit = B._vertex_buffers(1, D, False)
     fspace = B.B_IN_FSPACE
 
     def vdict(buf, k):
@@ -194,7 +194,7 @@ def _strategy_weights(scene, cfg, cam, lit, path, n_verts):
     for t in range(1, n_verts + 1):
         s = n_verts - t
         if t == 1:
-            cam_side = B._null_vertex(1)
+            cam_side = B._null_vertex(1, False)
             cam_side["vtype"] = jnp.full((1,), VERTEX_CAMERA, jnp.int32)
             cam_side["bits"] = jnp.full(
                 (1,), B.B_POS_DELTA | B.B_IN_FSPACE, jnp.int32)
@@ -205,10 +205,10 @@ def _strategy_weights(scene, cfg, cam, lit, path, n_verts):
         else:
             cam_side = B._static_vertex(cam, t - 1)
         if s == 0:
-            lit_side = B._null_vertex(1)
+            lit_side = B._null_vertex(1, False)
         elif s == 1:
             # NEE-resampled emitter endpoint (connect_strategy s==1)
-            lit_side = B._null_vertex(1)
+            lit_side = B._null_vertex(1, False)
             lit_side["vtype"] = jnp.full((1,), VERTEX_EMITTER, jnp.int32)
             lit_side["obj_id"] = light_obj[None]
             lit_side["emit_id"] = jnp.full((1,), eid, jnp.int32)

@@ -22,12 +22,14 @@ RES = 16
 def uniform_vol():
     grid = jnp.full((3, RES, RES, RES), SIGMA, jnp.float32)  # channel-major
     maj = np.full(3, SIGMA * 1.05, np.float32)
+    sv_size, sv = volume_ops._supervoxel_majorants(np.asarray(grid))
     return volume_ops.GridVolumeData(
         grid=grid, albedo=jnp.full(3, 0.9), inv_T=jnp.eye(3),
         trans=jnp.zeros(3), mini=jnp.zeros(3) - 0.01,
         maxi=jnp.full(3, float(RES)) + 0.01,
         majorant=jnp.asarray(maj), pdf=jnp.asarray(maj / maj.sum()),
-        ph_par=jnp.full(3, 0.5), ph_pdf=jnp.array([1.0, 0.0, 0.0]))
+        ph_par=jnp.full(3, 0.5), ph_pdf=jnp.array([1.0, 0.0, 0.0]),
+        sv_maj=jnp.asarray(sv), sv_size=sv_size)
 
 
 # per-channel extinctions for the spectral (RGB, kind=2) oracle
@@ -40,12 +42,14 @@ def rgb_vol():
         jnp.asarray(SIGMA_RGB)[:, None, None, None],
         (3, RES, RES, RES)).astype(jnp.float32)
     maj = SIGMA_RGB * 1.05
+    sv_size, sv = volume_ops._supervoxel_majorants(np.asarray(grid))
     return volume_ops.GridVolumeData(
         grid=grid, albedo=jnp.full(3, 0.9), inv_T=jnp.eye(3),
         trans=jnp.zeros(3), mini=jnp.zeros(3) - 0.01,
         maxi=jnp.full(3, float(RES)) + 0.01,
         majorant=jnp.asarray(maj), pdf=jnp.asarray(maj / maj.sum()),
-        ph_par=jnp.full(3, 0.5), ph_pdf=jnp.array([1.0, 0.0, 0.0]))
+        ph_par=jnp.full(3, 0.5), ph_pdf=jnp.array([1.0, 0.0, 0.0]),
+        sv_maj=jnp.asarray(sv), sv_size=sv_size)
 
 
 def _rays(n):
@@ -93,10 +97,13 @@ def test_ratio_tracking_rgb_spectral_oracle(rgb_vol):
         jnp.ones((n, 3)), jnp.full((n,), RES + 2.0)))
     expect = np.exp(-SIGMA_RGB * L_EFF)
     got = tr.mean(axis=0)
-    # low-sigma channels are picked rarely (pdf ~ sigma_k), so per-channel
-    # effective sample counts differ; 12% absorbs the worst-channel noise
-    rel = np.abs(got - expect) / expect
-    assert (rel < 0.12).all(), (got, expect)
+    # per-channel tolerance from the measured standard error: channel
+    # pick rates (pdf ~ sigma_k) and near-zero Tr tails make a fixed
+    # relative bound seed-fragile (the high-sigma channel's E[tr]~8e-5
+    # rides on a handful of surviving samples)
+    se = tr.std(axis=0) / np.sqrt(n)
+    err = np.abs(got - expect)
+    assert (err < 4.0 * se + 1e-7).all(), (got, expect, se)
 
 
 def test_delta_tracking_rgb_beta_expectation(rgb_vol):
