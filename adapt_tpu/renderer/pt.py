@@ -37,9 +37,12 @@ def render_batch_pt(scene, cfg, key, cnt0, spp, fuse=1):
     """spp progressive samples accumulated inside one jit call.
 
     fuse: samples traced together as one (fuse*N,3) wavefront per loop
-    iteration. TPU profiling shows the bounce pipeline is launch-overhead
-    bound (device ~95% idle at N=512^2); wider wavefronts amortize the
-    fixed per-fusion cost. Returns the SUM of spp estimates, (N, 3)."""
+    iteration. History: the r1 loop was launch-overhead bound and fuse=4
+    won; with the r3 lean bounce carry the overhead is amortized away and
+    fuse=1 measures fastest on cbox 512^2 (424.1 vs 338.4 Mrays/s honest,
+    2026-08-19) — narrower wavefronts mean smaller HBM fusion temps.
+    Re-sweep fuse after any carry change. Returns the SUM of spp
+    estimates, (N, 3)."""
     fuse = max(1, min(fuse, spp))
     iters = spp // fuse
     # with a crop window ONLY crop pixels are traced (reference
@@ -275,7 +278,7 @@ class Renderer(ProgressiveRenderer):
         return render_pass_pt(self.scene, self.cfg, key,
                               jnp.asarray(cnt, jnp.int32))
 
-    def render_batch(self, spp: int, fuse: int = 4):
+    def render_batch(self, spp: int, fuse: int = 1):
         self.key, sub = jax.random.split(self.key)
         acc = render_batch_pt(self.scene, self.cfg, sub,
                               jnp.int32(self.cnt + 1), spp, fuse)

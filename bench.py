@@ -36,9 +36,12 @@ def main():
 
     key = jax.random.PRNGKey(0)
     iters = int(os.environ.get("BENCH_ITERS", "64"))
-    fuse = int(os.environ.get("BENCH_FUSE", "4"))
-    # compile + warmup (one fused multi-spp dispatch; fuse samples ride one
-    # wavefront to amortize per-fusion launch overhead)
+    # fuse=1 measured fastest on the r3 lean bounce carry (424.1 vs 396.8
+    # at fuse=2 / 338.4 at fuse=4 / 340.7 at fuse=8, honest Mrays/s,
+    # 2026-08-19): with per-fusion launch overhead gone, the narrower
+    # wavefront's smaller HBM fusion temps win. Re-sweep after carry
+    # changes.
+    fuse = int(os.environ.get("BENCH_FUSE", "1"))
     out = render_batch_pt(scene, cfg, key, jnp.int32(1), iters, fuse)
     jax.block_until_ready(out)
 

@@ -44,7 +44,7 @@ def main():
     scene, cfg, _ = load_scene(os.path.join(here, "scenes", "vpt"),
                                "cbox.xml")
     cfg = dataclasses.replace(cfg, max_bounce=16)
-    spp, fuse = 16, 4
+    spp, fuse = 16, 1
     jax.block_until_ready(render_batch_vpt(scene, cfg, key, jnp.int32(1),
                                            spp, fuse))
     dt = timed(lambda r: render_batch_vpt(

@@ -32,9 +32,11 @@ def last_recorded():
             continue
         try:
             with open(p) as f:
-                val = json.load(f).get("value")
+                doc = json.load(f)
         except (OSError, json.JSONDecodeError):
             continue
+        # the driver wraps bench.py's line under "parsed"; accept both
+        val = doc.get("value", doc.get("parsed", {}).get("value"))
         if val is None:
             continue
         rnd = int(m.group(1))
