@@ -145,6 +145,38 @@ def _to_local(vol, ray_o, ray_d):
     return o, d
 
 
+def _march_interval(vol, ray_o, ray_d, max_t):
+    """March bounds in the shared ray parameter, from the LOCAL grid slab.
+
+    The world-AABB test (intersect_volume) bounds the ROTATED grid's
+    bounding box: under a rotation a ray can sit inside the world AABB
+    but outside the local grid, where the supervoxel DDA's clipped cell
+    has its boundary BEHIND the ray — the hop degenerates to its fp
+    nudge and the march stalls until MAX_STEPS (86% of cbox-rgbvol
+    camera lanes measured 2026-08-19, 24x cost). The local slab is both
+    tighter and the correct domain: density is identically zero outside
+    it. Extended 0.5 voxel per side because _density_lookup's stochastic
+    NN jitter reads up to half a voxel past the boundary (the supervoxel
+    majorants are dilated to cover exactly that band).
+
+    Returns (lo, ld, near, far); empty intervals have near >= far."""
+    lo, ld = _to_local(vol, ray_o, ray_d)
+    Z, Y, X = vol.grid.shape[1], vol.grid.shape[2], vol.grid.shape[3]
+    ext = jnp.array([X, Y, Z], jnp.float32) + 0.5
+    par = jnp.abs(ld) < 1e-9
+    safe_d = jnp.where(par, 1e-9, ld)
+    t1 = (-0.5 - lo) / safe_d
+    t2 = (ext[None, :] - lo) / safe_d
+    lo_in = (lo > -0.5) & (lo < ext[None, :])
+    tmin = jnp.where(par, jnp.where(lo_in, -jnp.inf, jnp.inf),
+                     jnp.minimum(t1, t2))
+    tmax = jnp.where(par, jnp.where(lo_in, jnp.inf, -jnp.inf),
+                     jnp.maximum(t1, t2))
+    near = jnp.maximum(0.0, tmin.max(-1)) + 1e-5
+    far = jnp.minimum(max_t, tmax.min(-1)) - 1e-5
+    return lo, ld, near, far
+
+
 def _density_lookup(vol, pos, u3, ch):
     """Stochastic nearest-neighbor density of the picked spectral channel
     (reference volume.py:307-314). One scalar gather per lane off the
@@ -205,10 +237,16 @@ def _sv_step(vol, lo, ld, ch, t, u_flight, far):
     _, SZ, SY, SX = vol.sv_maj.shape
     dims = jnp.array([SX, SY, SZ], jnp.int32)
     pos = lo + t[:, None] * ld
-    svi = jnp.clip(jnp.floor(pos / S).astype(jnp.int32), 0, dims - 1)
+    # UNCLIPPED cell for the hop boundary: in the 0.5-voxel jitter margin
+    # outside the grid the clipped cell's wall is behind the ray and the
+    # hop would degenerate to its fp nudge (the 2026-08-19 stall).
+    # Majorant lookup stays clipped — edge supervoxels are dilated to
+    # cover the margin's reachable densities.
+    svi_raw = jnp.floor(pos / S).astype(jnp.int32)
+    svi = jnp.clip(svi_raw, 0, dims - 1)
     m_loc = _sv_lookup(vol, svi, ch)
 
-    b_lo = svi.astype(jnp.float32) * S
+    b_lo = svi_raw.astype(jnp.float32) * S
     bound = jnp.where(ld > 0.0, b_lo + S, b_lo)
     safe_d = jnp.where(jnp.abs(ld) < 1e-9, 1e-9, ld)
     t_ax = jnp.where(jnp.abs(ld) < 1e-9, jnp.inf, (bound - lo) / safe_d)
@@ -325,8 +363,7 @@ def sample_distance_delta_tracking(vol, kind, key, ray_o, ray_d, thp,
     bounces they would otherwise inflate the crossing count and buy
     extra rounds of per-lane density gathers."""
     N = ray_o.shape[0]
-    near, far = intersect_volume(vol, ray_o, ray_d, max_t)
-    lo, ld = _to_local(vol, ray_o, ray_d)
+    lo, ld, near, far = _march_interval(vol, ray_o, ray_d, max_t)
     key, k_ch = jax.random.split(key)
     u_ch = jax.random.uniform(k_ch, (N,))
     ch, pdf, _maj = _pick_channel(vol, thp, u_ch)
@@ -383,8 +420,7 @@ def eval_tr_ratio_tracking(vol, kind, key, ray_o, ray_d, thp, max_t,
     """Spectral ratio-tracking transmittance (volume.py:404-463).
     Dead lanes (active False) skip the march and return Tr = 1."""
     N = ray_o.shape[0]
-    near, far = intersect_volume(vol, ray_o, ray_d, max_t)
-    lo, ld = _to_local(vol, ray_o, ray_d)
+    lo, ld, near, far = _march_interval(vol, ray_o, ray_d, max_t)
     key, k_ch = jax.random.split(key)
     u_ch = jax.random.uniform(k_ch, (N,))
     ch, pdf, _maj = _pick_channel(vol, thp, u_ch)

@@ -205,3 +205,62 @@ def test_vpt_with_grid_volume(tmp_path):
                                      jnp.int32(1)))
     assert np.isfinite(img).all()
     assert img.max() > 0.01
+
+
+def test_rotated_volume_tracking_oracle():
+    """A ROTATED grid: rays sit inside the volume's world AABB but leave
+    the local grid mid-interval. The r3 supervoxel DDA stalled there
+    (clipped cell boundary behind the ray -> fp-nudge micro-hops until
+    MAX_STEPS; 86% of tornado camera lanes never terminated) — axis-
+    aligned fixtures cannot see it. Oracle: Campbell's theorem for the
+    stochastic-NN field, E[Tr] = exp(-sigma * int prod_k r_k(x_k(t)) dt)
+    with r_k the per-axis in-range probability of the jittered lookup,
+    integrated numerically per ray."""
+    theta = np.deg2rad(30.0)
+    c, s = np.cos(theta), np.sin(theta)
+    R = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]], np.float32)
+    center = R @ np.full(3, RES / 2, np.float32)
+    trans = -center                                   # world center = 0
+    grid = jnp.full((3, RES, RES, RES), SIGMA, jnp.float32)
+    maj = np.full(3, SIGMA * 1.05, np.float32)
+    sv_size, sv = volume_ops._supervoxel_majorants(np.asarray(grid))
+    vol = volume_ops.GridVolumeData(
+        grid=grid, albedo=jnp.full(3, 0.9), inv_T=jnp.asarray(R.T),
+        trans=jnp.asarray(trans),
+        mini=jnp.full(3, -RES, jnp.float32),          # loose world AABB
+        maxi=jnp.full(3, RES, jnp.float32),
+        majorant=jnp.asarray(maj), pdf=jnp.asarray(maj / maj.sum()),
+        ph_par=jnp.full(3, 0.5), ph_pdf=jnp.array([1.0, 0.0, 0.0]),
+        sv_maj=jnp.asarray(sv), sv_size=sv_size)
+
+    n = 32768
+    rng = np.random.RandomState(7)
+    o = np.zeros((n, 3), np.float32)
+    o[:, 0] = -2.0 * RES
+    o[:, 1] = rng.uniform(-3, 3, n)
+    o[:, 2] = rng.uniform(-3, 3, n)
+    d = np.tile(np.float32([1, 0, 0]), (n, 1))
+    max_t = jnp.full((n,), 4.0 * RES)
+
+    # numerical Campbell oracle (vectorized trapezoid along each ray)
+    lo = (o - trans) @ np.asarray(R.T).T
+    ld = d @ np.asarray(R.T).T
+    ts = np.linspace(0.0, 4.0 * RES, 2048, dtype=np.float64)
+    pos = lo[:, None, :] + ts[None, :, None] * ld[:, None, :]
+    r = np.clip(np.minimum(1.0, RES + 0.5 - pos)
+                - np.maximum(0.0, 0.5 - pos), 0.0, 1.0)
+    e_d = SIGMA * r.prod(-1)
+    tau = np.trapezoid(e_d, ts, axis=1)
+    expect_tr = np.exp(-tau).mean()
+
+    tr = np.asarray(volume_ops.eval_tr_ratio_tracking(
+        vol, 1, jax.random.PRNGKey(11), jnp.asarray(o), jnp.asarray(d),
+        jnp.ones((n, 3)), max_t))
+    got_tr = float(tr.mean())
+    assert abs(got_tr - expect_tr) / expect_tr < 0.08, (got_tr, expect_tr)
+
+    t, _beta = volume_ops.sample_distance_delta_tracking(
+        vol, 1, jax.random.PRNGKey(12), jnp.asarray(o), jnp.asarray(d),
+        jnp.ones((n, 3)), max_t)
+    p_escape = float((np.asarray(t) < 0).mean())
+    assert abs(p_escape - expect_tr) < 0.02, (p_escape, expect_tr)
