@@ -156,6 +156,19 @@ def ray_intersect(scene, cfg, ray_o, ray_d, max_t=None, alive=None,
             else jnp.where(max_t > 0.0, max_t - RAY_EPS, FAR)
         if alive is not None:
             far0 = jnp.where(alive, far0, -3e38)
+        if _cp.MARCH and _cp.SHORTLIST:
+            # per-ray front-to-back march: does its own per-round
+            # candidate sorts (round 1 subsumes the key pass and the
+            # outer wavefront sort; key_hint is unused here)
+            t, wid = _cp.cluster_closest_march(scene, ray_o, ray_d, far0)
+            gid, u, v, ng, obj = _cp._resolve_winner(scene, wid, t,
+                                                     ray_o, ray_d)
+            cid = jnp.where(wid >= 0, wid // scene.cl_rows.shape[2], -1)
+            return _assemble_interaction(scene, cfg, ray_o, ray_d, t,
+                                         gid, u, v,
+                                         jnp.zeros((N,), bool), pre_ng=ng,
+                                         pre_obj=obj, pre_final=True,
+                                         pre_cid=cid)
         key = key_hint if key_hint is not None \
             else _cp.primary_cluster_key(scene, ray_o, ray_d, far0)
         ro_s, rd_s, far_s, pos = _sort_by(

@@ -112,7 +112,8 @@ def test_cluster_any_hit_matches_cursor(knot, sweep_mode):
 def test_cluster_two_phase_matches_single_pass(knot):
     """The two-phase closest sweep (capped phase 1 -> far-tightened
     phase 2) is exact: results match the single-pass sweep and the
-    cursor walk for any PH1_CAP, including a 1-candidate phase 1."""
+    cursor walk for any PH1_CAP, including a 1-candidate phase 1.
+    MARCH is pinned off: this covers the legacy tile-union path."""
     scene, cfg = knot
     from adapt_tpu.ops import cluster_pallas as cp
     from adapt_tpu.ops.intersect import ray_intersect
@@ -120,8 +121,9 @@ def test_cluster_two_phase_matches_single_pass(knot):
     ref = ray_intersect(scene, dataclasses.replace(cfg, use_cluster=False),
                         ro, rd)
     ccfg = dataclasses.replace(cfg, use_cluster=True)
-    old_tp, old_cap = cp.TWO_PHASE, cp.PH1_CAP
+    old_tp, old_cap, old_m = cp.TWO_PHASE, cp.PH1_CAP, cp.MARCH
     try:
+        cp.MARCH = False
         for tp, cap in ((False, 0), (True, 1), (True, 4)):
             cp.TWO_PHASE, cp.PH1_CAP = tp, cap
             got = ray_intersect(scene, ccfg, ro, rd)
@@ -130,7 +132,39 @@ def test_cluster_two_phase_matches_single_pass(knot):
             np.testing.assert_allclose(np.asarray(got.t),
                                        np.asarray(ref.t), rtol=2e-6)
     finally:
-        cp.TWO_PHASE, cp.PH1_CAP = old_tp, old_cap
+        cp.TWO_PHASE, cp.PH1_CAP, cp.MARCH = old_tp, old_cap, old_m
+
+
+def test_cluster_march_rounds_exact(knot):
+    """The per-ray front-to-back march is exact for ANY round budget:
+    0 (cleanup-only = plain tile-union pass), 1 (front-most candidate +
+    cleanup), and 3 (most rays finish in-rounds; the cleanup tail is
+    near-empty). Includes max_t clipping and alive-mask forced misses."""
+    scene, cfg = knot
+    from adapt_tpu.ops import cluster_pallas as cp
+    from adapt_tpu.ops.intersect import ray_intersect
+    ro, rd = _rays(scene, cfg, jax.random.PRNGKey(23))
+    N = ro.shape[0]
+    max_t = jnp.where(jax.random.uniform(jax.random.PRNGKey(2), (N,)) < .5,
+                      2.0, -1.0)
+    alive = jax.random.uniform(jax.random.PRNGKey(4), (N,)) < 0.8
+    ref = ray_intersect(scene, dataclasses.replace(cfg, use_cluster=False),
+                        ro, rd, max_t=max_t)
+    ccfg = dataclasses.replace(cfg, use_cluster=True)
+    a = np.asarray(alive)
+    old = cp.MARCH_ROUNDS
+    try:
+        for r in (0, 1, 3):
+            cp.MARCH_ROUNDS = r
+            got = ray_intersect(scene, ccfg, ro, rd, max_t=max_t,
+                                alive=alive)
+            assert (np.asarray(got.prim_id)[a]
+                    == np.asarray(ref.prim_id)[a]).all(), r
+            assert (np.asarray(got.obj_id)[~a] == -1).all(), r
+            np.testing.assert_allclose(np.asarray(got.t)[a],
+                                       np.asarray(ref.t)[a], rtol=2e-6)
+    finally:
+        cp.MARCH_ROUNDS = old
 
 
 def test_cluster_shortlist_overflow_fallback(knot):
