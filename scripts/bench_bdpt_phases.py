@@ -40,6 +40,8 @@ def main():
         order = ("s0", "t1", "s1", "gen")
         keep = order[:order.index(case_cut)] if case_cut else ()
 
+        # B.generate_paths (the fused dual walk) measured 58.8 ms here vs
+        # 50.8 for the two separate walks — see its docstring
         @jax.jit
         def run(key, cnt):
             k, k_cam, k_lit, k_con = jax.random.split(key, 4)
