@@ -126,7 +126,8 @@ def track_ray(scene, cfg, start_p, ray_d, depth, key=None, thp=None,
         miss = ~it.is_hit
         seg = jnp.where(miss, remaining, it.t)
         in_free = jnp.where(miss, True, dot(it.n_g, ray_d) < 0.0)
-        blocked = ~miss & ~_is_null_surface(scene, it.obj_id) & alive
+        blocked = (~miss & ~_is_null_surface(scene, it.obj_id) & alive
+                   if cfg.has_null_bsdf else ~miss & alive)
         rows, scat = effective_medium(scene, cfg, it.obj_id, in_free)
         seg_tr = medium_ops.transmittance(rows["u_e"], scat, seg)
         ior = jnp.where(in_free, w_ior, rows["ior"])
@@ -286,7 +287,8 @@ def trace_vpt(scene, cfg, key, ray_o, ray_d):
         thp = thp * jnp.where(active[..., None], beta, 1.0)
 
         # --- null surface passthrough (vpt.py:189-191) ---
-        is_null = ~is_mi & _is_null_surface(scene, obj_id)
+        is_null = (~is_mi & _is_null_surface(scene, obj_id)
+                   if cfg.has_null_bsdf else jnp.zeros_like(active))
         shade = active & ~is_null
 
         mat = bxdf_ops.gather_mat(scene, obj_id)
@@ -403,8 +405,11 @@ def trace_vpt(scene, cfg, key, ray_o, ray_d):
                     color=color, thp=thp, emission_weight=emission_weight,
                     active=active, bounce=bounce)
 
-    iters = cfg.max_bounce + (NULL_BUDGET if (cfg.has_null_bsdf
-                                              or media_everywhere) else 0)
+    # null crossings are the only way an iteration advances without
+    # incrementing `bounce` (shade = active & ~is_null; medium
+    # interactions shade), so only cfg.has_null_bsdf needs the budget —
+    # `or media_everywhere` ran provably-inert extra iterations
+    iters = cfg.max_bounce + (NULL_BUDGET if cfg.has_null_bsdf else 0)
     final = jax.lax.fori_loop(0, iters, iteration, init)
     return final["color"]
 

@@ -98,12 +98,15 @@ def main():
     import numpy as np
 
     def timed(fn):
-        fn(key, jnp.int32(1)).block_until_ready()
+        """Forces completion with a device->host scalar fetch:
+        block_until_ready through the axon tunnel does not reliably
+        block (scripts/bench_gather.py)."""
+        float(np.asarray(fn(key, jnp.int32(1))).ravel()[0])
         ts = []
         for r in range(reps):
             t0 = time.perf_counter()
-            fn(jax.random.fold_in(key, r), jnp.int32(r + 2)) \
-                .block_until_ready()
+            out = fn(jax.random.fold_in(key, r), jnp.int32(r + 2))
+            float(np.asarray(out).ravel()[0])
             ts.append(time.perf_counter() - t0)
         ts.sort()
         return ts[len(ts) // 2]
