@@ -137,8 +137,15 @@ SL_MAX_ROWS = max(1, (3 << 16) // _SL_ROW_WORDS)
 TWO_PHASE = os.environ.get("ADAPT_TWO_PHASE", "1") != "0"
 PH1_CAP = int(os.environ.get("ADAPT_PH1_CAP", "4"))
 # per-ray front-to-back cluster march (see cluster_closest_march):
-# MARCH_ROUNDS single-candidate rounds, then an exact tile-union cleanup
-MARCH = os.environ.get("ADAPT_MARCH", "1") != "0"
+# MARCH_ROUNDS single-candidate rounds, then an exact tile-union cleanup.
+# DEFAULT OFF: it wins the all-alive incoherent bounce-closest microbench
+# (knot290k 375.5 -> 190.7 ms) but LOSES full renders — knot290k
+# 12-bounce 2.47 -> 2.52 s/spp, ite-orb 24-bounce 5.63 -> 7.95 s/spp —
+# because real bounces arrive key-hinted and alive-masked (far cheaper
+# per call than the microbench) while the march pays its fixed
+# 3x dense (N, C) candidate passes + ~8 wavefront sorts per call
+# regardless of how many lanes are alive.
+MARCH = os.environ.get("ADAPT_MARCH", "0") != "0"
 MARCH_ROUNDS = int(os.environ.get("ADAPT_MARCH_ROUNDS", "2"))
 # max elements of one (gb, G*B, C) slab intermediate in _tile_shortlists
 _SL_MAX_ELEMS = 1 << 23
