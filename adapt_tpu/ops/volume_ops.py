@@ -23,6 +23,7 @@ from ..constants import VolumeTag
 from .gather import select_along, tgather
 
 MAX_STEPS = 1024
+_ABLATE = None      # timing experiments only (scripts/bench_volume.py)
 
 
 def _register(cls, meta=()):
@@ -181,6 +182,9 @@ def _density_lookup(vol, pos, u3, ch):
     """Stochastic nearest-neighbor density of the picked spectral channel
     (reference volume.py:307-314). One scalar gather per lane off the
     channel-major (3, Z, Y, X) grid."""
+    if _ABLATE == "const_density":   # timing-only: sizes the gather cost
+        return jnp.full(ch.shape, 0.5, jnp.float32) * tgather(
+            vol.majorant, ch)
     idx = jnp.floor(pos + (u3 - 0.5)).astype(jnp.int32)
     Z, Y, X = vol.grid.shape[1], vol.grid.shape[2], vol.grid.shape[3]
     ok = ((idx >= 0).all(-1) & (idx[..., 0] <= X - 1)

@@ -106,8 +106,45 @@ def render_bench():
           f"(max_bounce={cfg.max_bounce})")
 
 
+
+
+def ablate_bench():
+    """Attribute tracking cost (ABLATE=1): const-density stub vs base on
+    delta + ratio tracking, camera and random rays. The stub removes the
+    per-lane grid gathers (timing only - results are wrong)."""
+    from adapt_tpu.scene.compile import load_scene
+    from adapt_tpu.renderer.base import camera_rays
+    from adapt_tpu.ops import volume_ops
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    scene, cfg, _ = load_scene(os.path.join(here, "scenes", "cbox"),
+                               "cbox-rgbvol.xml")
+    vol = scene.volume
+    N = cfg.n_pixels
+    key = jax.random.PRNGKey(0)
+    ray_o, ray_d = jax.jit(
+        lambda k: camera_rays(scene, cfg, k, jnp.int32(1)))(key)
+    thp = jnp.ones((N, 3), jnp.float32)
+    max_t = jnp.full((N,), 1e7, jnp.float32)
+    for mode in (None, "const_density"):
+        volume_ops._ABLATE = mode
+        f_delta = jax.jit(lambda k, o, d, t, m: volume_ops
+                          .sample_distance_delta_tracking(
+                              vol, cfg.volume_kind, k, o, d, t, m))
+        dt = timeit(f_delta, key, ray_o, ray_d, thp, max_t)
+        f_ratio = jax.jit(lambda k, o, d, t, m: volume_ops
+                          .eval_tr_ratio_tracking(
+                              vol, cfg.volume_kind, k, o, d, t, m))
+        dr = timeit(f_ratio, key, ray_o, ray_d, thp, max_t)
+        print(f"[{mode or 'base':14s}] delta {dt*1e3:8.2f} ms   "
+              f"ratio {dr*1e3:8.2f} ms", flush=True)
+    volume_ops._ABLATE = None
+
+
 if __name__ == "__main__":
-    if os.environ.get("RENDER"):
+    if os.environ.get("ABLATE"):
+        ablate_bench()
+    elif os.environ.get("RENDER"):
         render_bench()
     else:
         main()
