@@ -250,3 +250,27 @@ def test_foam_crop_transient_e2e():
     assert 0.039 < t_first < 0.055, t_first
     peaks = analyze_peaks(curve, interval=cfg.t_interval)
     assert peaks is None or len(peaks) >= 0    # runs without raising
+
+
+def test_walk_places_full_depth_without_null_budget():
+    """With no null BSDF, every active walk iteration places a vertex
+    (medium interactions place VERTEX_MEDIUM), so the walk must fill all
+    max_bnc slots in exactly max_bnc iterations — the budget that used
+    to be padded by NULL_BUDGET under media_everywhere. Uses the real
+    cbox (scattering world HG medium, no null surfaces)."""
+    from adapt_tpu.renderer.bdpt import generate_eye_path
+    scene, cfg, _ = load_scene(SCENE_DIR + "/cbox/", "cbox.xml")
+    cfg = dataclasses.replace(
+        cfg, w=16, h=16, focal=cfg.focal * 16 / 512, end_x=16, end_y=16,
+        use_rr=False, anti_alias=False, stratified_sampling=False,
+        max_bounce=4)
+    assert cfg.world_scattering and not cfg.has_null_bsdf
+    buf, vnum = jax.jit(
+        lambda k: generate_eye_path(scene, cfg, k, jnp.int32(1), 4)
+    )(jax.random.PRNGKey(3))
+    vnum = np.asarray(vnum)
+    # camera vertex + 4 walk vertices for lanes that survived every bounce
+    assert vnum.max() == 5, vnum.max()
+    # and the deepest slot is genuinely populated for those lanes
+    vt = np.asarray(buf["vtype"])[4]
+    assert (vt[vnum == 5] >= 0).all()
