@@ -16,11 +16,16 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
 
 
 def timed(fn, reps):
+    """Forces completion with a device->host scalar fetch —
+    block_until_ready does not reliably block through the axon tunnel
+    (scripts/bench_gather.py)."""
+    import numpy as np
     import jax
     times = []
     for r in range(reps):
         t0 = time.perf_counter()
-        jax.block_until_ready(fn(r))
+        out = fn(r)
+        float(np.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[0])
         times.append(time.perf_counter() - t0)
     times.sort()
     return times[len(times) // 2]
