@@ -50,11 +50,10 @@ def main():
                                "cbox.xml")
     cfg = dataclasses.replace(cfg, max_bounce=16)
     spp, fuse = 16, 1
-    jax.block_until_ready(render_batch_vpt(scene, cfg, key, jnp.int32(1),
-                                           spp, fuse))
-    dt = timed(lambda r: render_batch_vpt(
-        scene, cfg, jax.random.fold_in(key, r), jnp.int32(1), spp, fuse),
-        reps)
+    f_vpt = jax.jit(lambda k: jnp.sum(render_batch_vpt(
+        scene, cfg, k, jnp.int32(1), spp, fuse)))
+    f_vpt(key)
+    dt = timed(lambda r: f_vpt(jax.random.fold_in(key, r)), reps)
     out["vpt_cbox512_ms_per_spp"] = round(dt / spp * 1e3, 2)
 
     # BDPT: cornell box, 6 bounces (BASELINE config 3 family)
@@ -62,10 +61,10 @@ def main():
                                "cbox.xml")
     cfg = dataclasses.replace(cfg, max_bounce=6)
     spp = 8
-    jax.block_until_ready(render_batch_bdpt(scene, cfg, key, jnp.int32(1),
-                                            spp))
-    dt = timed(lambda r: render_batch_bdpt(
-        scene, cfg, jax.random.fold_in(key, r), jnp.int32(1), spp), reps)
+    f_bdpt = jax.jit(lambda k: jnp.sum(render_batch_bdpt(
+        scene, cfg, k, jnp.int32(1), spp)))
+    f_bdpt(key)
+    dt = timed(lambda r: f_bdpt(jax.random.fold_in(key, r)), reps)
     out["bdpt_cbox512_ms_per_spp"] = round(dt / spp * 1e3, 2)
 
     print(json.dumps(out))

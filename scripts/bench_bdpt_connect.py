@@ -36,15 +36,17 @@ def main():
     import numpy as np
 
     def timed(fn):
-        """Forces completion with a device->host scalar fetch:
-        block_until_ready through the axon tunnel does not reliably
-        block (scripts/bench_gather.py)."""
-        float(np.asarray(fn(key, jnp.int32(1))[0]).ravel()[0])
+        """Forces completion with a 4-byte device->host scalar fetch
+        (the variant must reduce to a scalar INSIDE the jit):
+        block_until_ready does not reliably block through the axon
+        tunnel, and fetching a full film measures ~70 ms of noisy
+        HTTP transfer instead of device time."""
+        float(np.asarray(fn(key, jnp.int32(1))))
         ts = []
         for r in range(reps):
             t0 = time.perf_counter()
             out = fn(jax.random.fold_in(key, r), jnp.int32(r + 2))
-            float(np.asarray(out[0]).ravel()[0])
+            float(np.asarray(out))
             ts.append(time.perf_counter() - t0)
         ts.sort()
         return ts[len(ts) // 2]
@@ -55,7 +57,7 @@ def main():
     unjitted = B.render_pass_bdpt.__wrapped__
 
     def run_variant(name, cfg_v):
-        fn = jax.jit(lambda k, c: unjitted(scene, cfg_v, k, c))
+        fn = jax.jit(lambda k, c: jnp.sum(unjitted(scene, cfg_v, k, c)[0]))
         dt = timed(fn)
         print(f"{name:10s}: {dt * 1e3:7.1f} ms", flush=True)
         return dt

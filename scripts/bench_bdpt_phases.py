@@ -98,15 +98,16 @@ def main():
     import numpy as np
 
     def timed(fn):
-        """Forces completion with a device->host scalar fetch:
-        block_until_ready through the axon tunnel does not reliably
-        block (scripts/bench_gather.py)."""
-        float(np.asarray(fn(key, jnp.int32(1))).ravel()[0])
+        """Forces completion with a 4-byte device->host scalar fetch
+        (fn must return a scalar): block_until_ready does not reliably
+        block through the axon tunnel, and fetching a full film measures
+        ~70 ms of noisy HTTP transfer instead of device time."""
+        float(np.asarray(fn(key, jnp.int32(1))))
         ts = []
         for r in range(reps):
             t0 = time.perf_counter()
             out = fn(jax.random.fold_in(key, r), jnp.int32(r + 2))
-            float(np.asarray(out).ravel()[0])
+            float(np.asarray(out))
             ts.append(time.perf_counter() - t0)
         ts.sort()
         return ts[len(ts) // 2]
@@ -119,7 +120,8 @@ def main():
               f"{(dt - prev) * 1e3:+7.1f})", flush=True)
         prev = dt
     # full pass through the real entry (includes gen group + transient off)
-    full = jax.jit(lambda k, c: B.render_pass_bdpt(scene, cfg, k, c)[0])
+    full = jax.jit(
+        lambda k, c: jnp.sum(B.render_pass_bdpt(scene, cfg, k, c)[0]))
     dt = timed(full)
     print(f"{'full pass':12s}: {dt * 1e3:7.1f} ms  (delta "
           f"{(dt - prev) * 1e3:+7.1f})", flush=True)
