@@ -135,6 +135,12 @@ SL_MAX_ROWS = max(1, (3 << 16) // _SL_ROW_WORDS)
 # two-phase closest sweep (see cluster_closest_raw); PH1_CAP = phase-1
 # front-to-back candidate budget
 TWO_PHASE = os.environ.get("ADAPT_TWO_PHASE", "1") != "0"
+# gateless LISTED visits (r2 commit d6b87ad) won an all-alive incoherent
+# bounce microbench (349 -> 260 ms) but LOST full renders: bisected on-
+# chip, knot290k 12-bounce went 2.29 -> 3.01 s/spp at that commit — real
+# bounces arrive key-hint-sorted and far-tightened, so listed chunk
+# gates fail often enough to pay for themselves. Default gated.
+GATELESS = os.environ.get("ADAPT_GATELESS", "0") != "0"
 PH1_CAP = int(os.environ.get("ADAPT_PH1_CAP", "4"))
 # per-ray front-to-back cluster march (see cluster_closest_march):
 # MARCH_ROUNDS single-candidate rounds, then an exact tile-union cleanup.
@@ -535,8 +541,13 @@ def _closest_sl_kernel(G, cap, cnt_ref, sl_ref, eblk_ref, ro_ref, rd_ref,
 
         @pl.when(jnp.logical_not(over))
         def _():
-            _visit_cluster_deferred(idx, cab_ref, rows_hbm, buf, sem, ro,
-                                    rd, inv_d, t_o, wid_o)
+            if GATELESS:
+                _visit_cluster_deferred(idx, cab_ref, rows_hbm, buf, sem,
+                                        ro, rd, inv_d, t_o, wid_o)
+            else:
+                _visit_cluster_deferred_gated(idx, cab_ref, rows_hbm,
+                                              buf, sem, ro, rd, inv_d,
+                                              t_o, wid_o)
 
         @pl.when(over)
         def _():
@@ -633,8 +644,12 @@ def _any_sl_kernel(G, cnt_ref, sl_ref, eblk_ref, ro_ref, rd_ref, far_ref,
 
         @pl.when(jnp.logical_not(over))
         def _():
-            _visit_cluster_any_gateless(idx, rows_hbm, buf, sem, ro, rd,
-                                        far_ref, occ_o)
+            if GATELESS:
+                _visit_cluster_any_gateless(idx, rows_hbm, buf, sem, ro,
+                                            rd, far_ref, occ_o)
+            else:
+                _visit_cluster_any(idx, cab_ref, rows_hbm, buf, sem, ro,
+                                   rd, inv_d, far_ref, occ_o)
 
         @pl.when(over)
         def _():
