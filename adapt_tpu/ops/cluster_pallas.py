@@ -153,6 +153,15 @@ PH1_CAP = int(os.environ.get("ADAPT_PH1_CAP", "4"))
 # regardless of how many lanes are alive.
 MARCH = os.environ.get("ADAPT_MARCH", "0") != "0"
 MARCH_ROUNDS = int(os.environ.get("ADAPT_MARCH_ROUNDS", "2"))
+# per-ray candidate QUEUE closest hit (see queue_closest_raw): ONE dense
+# pass extracts each ray's first QUEUE_K entered clusters front-to-back;
+# the wavefront sorts ONCE by the first candidate; K gated kernel rounds
+# sweep per-group DISTINCT r'th candidates with t_best tightening
+# between rounds; rays with >K candidates finish through the exact
+# tile-union pass. Fixes the march's cost structure: 1 dense pass + 1
+# sort (vs 3 passes + ~8 sorts) for the same per-ray granularity.
+QUEUE = os.environ.get("ADAPT_QUEUE", "0") != "0"
+QUEUE_K = int(os.environ.get("ADAPT_QUEUE_K", "4"))
 # max elements of one (gb, G*B, C) slab intermediate in _tile_shortlists
 _SL_MAX_ELEMS = 1 << 23
 
@@ -1092,6 +1101,148 @@ def cluster_closest_march(scene, ray_o, ray_d, far0):
     t_best = jnp.where(need, t_new, t_best)
     wid = jnp.where(need, w_new, wid)
     return t_best[:N], wid[:N]
+
+
+def _topk_candidates(scene, ro, rd, far, K):
+    """Per-ray first-K entered clusters, front-to-back.
+
+    One blockwise dense (N, C) slab pass (boxes inflated a few ulp like
+    _tile_shortlists, so FMA differences can only ADD candidates).
+    Returns (ids (N, K) i32 — C where the ray has fewer candidates —
+    and more (N,) bool: the ray enters MORE than K clusters before far,
+    i.e. its queue is truncated and needs the exact cleanup pass).
+    Candidate clusters of dead lanes (far <= 0) all key to C."""
+    C = scene.cl_aabb.shape[0]
+    ext = jnp.abs(scene.cl_aabb[:, 0:3]) + jnp.abs(scene.cl_aabb[:, 3:6]) \
+        + 1.0
+    lo = scene.cl_aabb[:, 0:3] - 1e-6 * ext
+    hi = scene.cl_aabb[:, 3:6] + 1e-6 * ext
+    N = ro.shape[0]
+    Bb = max(128, min(N, _SL_MAX_ELEMS // max(C, 1)))
+    Np = -(-N // Bb) * Bb
+    o = jnp.pad(ro, ((0, Np - N), (0, 0)))
+    d = jnp.pad(rd, ((0, Np - N), (0, 0)), constant_values=1.0)
+    f = jnp.pad(far, (0, Np - N), constant_values=-3e38)
+
+    def blk(args):
+        o, d, f = args
+        inv = 1.0 / jnp.where(jnp.abs(d) < 1e-9, 1e-9, d)
+        tn = jnp.full((Bb, C), -jnp.inf, jnp.float32)
+        tf = jnp.full((Bb, C), jnp.inf, jnp.float32)
+        for k in range(3):
+            t1 = (lo[None, :, k] - o[:, k:k + 1]) * inv[:, k:k + 1]
+            t2 = (hi[None, :, k] - o[:, k:k + 1]) * inv[:, k:k + 1]
+            tn = jnp.maximum(tn, jnp.minimum(t1, t2))
+            tf = jnp.minimum(tf, jnp.maximum(t1, t2))
+        ent = jnp.maximum(tn, 0.0)
+        hit = (tf >= ent) & (tn < f[:, None])
+        keyed = jnp.where(hit, ent, jnp.inf)
+        lane = jax.lax.broadcasted_iota(jnp.int32, keyed.shape, 1)
+        ids = []
+        for _ in range(K):
+            mt = jnp.min(keyed, axis=1)
+            has = jnp.isfinite(mt)
+            # front-most candidate; equal entries resolve to the lowest
+            # id first, the tie partner surfaces next iteration
+            cid = jnp.min(jnp.where(keyed == mt[:, None], lane, C), axis=1)
+            ids.append(jnp.where(has, cid, C).astype(jnp.int32))
+            keyed = jnp.where(lane == cid[:, None], jnp.inf, keyed)
+        more = jnp.isfinite(jnp.min(keyed, axis=1))
+        return jnp.stack(ids, axis=1), more
+
+    ids, more = jax.lax.map(blk, (o.reshape(-1, Bb, 3),
+                                  d.reshape(-1, Bb, 3),
+                                  f.reshape(-1, Bb)))
+    return ids.reshape(Np, K)[:N], more.reshape(Np)[:N]
+
+
+def _pack_ids(ids):
+    """(N, K) i32 cluster ids (< 2^16) -> (N, ceil(K/2)) packed words, so
+    the wavefront sort carries half the operands."""
+    K = ids.shape[1]
+    if K % 2:
+        ids = jnp.pad(ids, ((0, 0), (0, 1)))
+    return ids[:, 0::2] | (ids[:, 1::2] << 16)
+
+
+def _unpack_id(packed, r):
+    """Round-r candidate id from the packed words (r static)."""
+    return (packed[:, r // 2] >> (16 * (r % 2))) & 0xffff
+
+
+def _round_lists(cand, Np, C):
+    """Synthesize (counts, packed, eblk, G) shortlist tables from the
+    lanes' UNSORTED per-round candidate ids: each tile-group lists the
+    DISTINCT candidates of its own lanes (two cheap axis-1 row sorts —
+    distinct-extraction, then compaction). Inactive lanes carry C and
+    contribute nothing; an all-inactive group gets count 0 and its sweep
+    never starts. eblk thresholds are -3e38: every listed cluster is
+    some lane's current front-to-back candidate, so the entry-distance
+    early exit can never soundly fire (same argument as _march_lists)."""
+    nt = Np // LANE_B
+    G = -(-nt // SL_MAX_ROWS)
+    ng = -(-nt // G)
+    GB = G * LANE_B
+    rows = jnp.pad(cand, (0, ng * GB - Np),
+                   constant_values=jnp.int32(C)).reshape(ng, GB)
+    svals = jnp.sort(rows, axis=1)
+    valid = svals < C
+    prev = jnp.concatenate(
+        [jnp.full((ng, 1), -1, jnp.int32), svals[:, :-1]], axis=1)
+    firsts = valid & (svals != prev)
+    counts = jnp.sum(firsts, axis=1).astype(jnp.int32)
+    keyed = jnp.where(firsts, svals, jnp.int32(1) << 20)
+    vals = jnp.sort(keyed, axis=1)
+    S = 2 * SL_WORDS
+    if GB < S:
+        vals = jnp.pad(vals, ((0, 0), (0, S - GB)),
+                       constant_values=jnp.int32(1) << 20)
+    idx = jnp.clip(vals[:, :S], 0, 0xffff)   # entries >= counts unread
+    packed = idx[:, 0::2] | (idx[:, 1::2] << 16)
+    eblk = jnp.full((ng, -(-S // EB_E)), -3e38, jnp.float32)
+    return counts.reshape(1, ng), packed, eblk, G
+
+
+def queue_closest_raw(scene, ray_o, ray_d, far0, packed_ids, more, K):
+    """Per-ray candidate-queue closest hit: (t (N,), wid (N,) i32).
+
+    Expects rays PRE-SORTED by the round-0 candidate key (ids[:,0]*8 +
+    octant; see ops/intersect.py) so same-cluster rays share LANE_B
+    tiles. Round r sweeps each tile-group's DISTINCT r'th candidates
+    (chunk-gated visits; t_o starts at the previous round's t, so gates
+    tighten between rounds and a winner exactly AT far stays recorded —
+    same composition contract as the two-phase pass). Rays whose
+    candidate queue was truncated (more: >K clusters entered before
+    far0) finish through the exact tile-union pass with their tightened
+    t as far; every cluster with entry below the final t is therefore
+    visited by one of the stages, so the result is exact.
+
+    vs cluster_closest_march (the r3 dead end): ONE dense (N, C) pass
+    and ONE wavefront sort total, instead of MARCH_ROUNDS+2 dense passes
+    and ~8 sorts — the fixed costs that lost the march its microbench
+    win end-to-end.
+
+    Reference behavior: tracer/path_tracer.py:338-422 (closest-hit
+    contract); the decomposition has no reference analog."""
+    N = ray_o.shape[0]
+    C = scene.cl_aabb.shape[0]
+    ro, rd, far, Np = _ray_blocks(ray_o, ray_d, far0)
+    pad_word = int(C | (C << 16))
+    pk = jnp.pad(packed_ids, ((0, Np - N), (0, 0)),
+                 constant_values=pad_word)
+    t = far
+    wid = jnp.full((Np, 1), -1, jnp.int32)
+    for r in range(K):
+        cand = _unpack_id(pk, r)
+        lists = _round_lists(cand, Np, C)
+        t, wid = _closest_sl_pass(scene, ro, rd, t, Np, wid, 0,
+                                  lists=lists)
+    morep = jnp.pad(more, (0, Np - N), constant_values=False)
+    fs = jnp.where(morep[:, None], t, -3e38)
+    t2, wid2 = _closest_sl_pass(scene, ro, rd, fs, Np, wid, 0)
+    t = jnp.where(morep[:, None], t2, t)
+    wid = jnp.where(morep[:, None], wid2, wid)
+    return t[:N, 0], wid[:N, 0]
 
 
 def cluster_closest_hit(scene, ray_o, ray_d, far0):

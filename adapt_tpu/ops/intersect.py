@@ -169,6 +169,34 @@ def ray_intersect(scene, cfg, ray_o, ray_d, max_t=None, alive=None,
                                          jnp.zeros((N,), bool), pre_ng=ng,
                                          pre_obj=obj, pre_final=True,
                                          pre_cid=cid)
+        if _cp.QUEUE and _cp.SHORTLIST:
+            # per-ray candidate queues: the dense pass that builds each
+            # ray's own front-to-back cluster list also yields the best
+            # sort key (the FIRST cluster the ray will enter — finer
+            # than key_hint's origin cluster), so key_hint is unused
+            C = scene.cl_aabb.shape[0]
+            ids, more = _cp._topk_candidates(scene, ray_o, ray_d, far0,
+                                             _cp.QUEUE_K)
+            octant = ((ray_d[:, 0] > 0).astype(jnp.int32)
+                      + 2 * (ray_d[:, 1] > 0).astype(jnp.int32)
+                      + 4 * (ray_d[:, 2] > 0).astype(jnp.int32))
+            key = jnp.where(ids[:, 0] < C, ids[:, 0] * 8 + octant, 8 * C)
+            pk = _cp._pack_ids(ids)
+            ro_s, rd_s, far_s, pk_s, more_s, pos = _sort_by(
+                key, [ray_o, ray_d, far0, pk, more.astype(jnp.int32),
+                      jnp.arange(N, dtype=jnp.int32)])
+            t, wid = _cp.queue_closest_raw(scene, ro_s, rd_s, far_s,
+                                           pk_s, more_s.astype(bool),
+                                           _cp.QUEUE_K)
+            t, wid = _sort_by(pos, [t, wid])
+            gid, u, v, ng, obj = _cp._resolve_winner(scene, wid, t,
+                                                     ray_o, ray_d)
+            cid = jnp.where(wid >= 0, wid // scene.cl_rows.shape[2], -1)
+            return _assemble_interaction(scene, cfg, ray_o, ray_d, t,
+                                         gid, u, v,
+                                         jnp.zeros((N,), bool), pre_ng=ng,
+                                         pre_obj=obj, pre_final=True,
+                                         pre_cid=cid)
         key = key_hint if key_hint is not None \
             else _cp.primary_cluster_key(scene, ray_o, ray_d, far0)
         ro_s, rd_s, far_s, pos = _sort_by(

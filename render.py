@@ -205,6 +205,24 @@ def main():
     dt = time.time() - t_start
     print(f"done: {spp} spp in {dt:.2f}s ({spp / max(dt, 1e-9):.2f} it/s)")
 
+    if preview is not None:
+        # The reference GUI window outlives the render loop (render.py:
+        # 129-152): the image stays on screen until the user closes it.
+        # Same contract here: keep serving the final frame until
+        # SIGTERM/Ctrl-C — also removes the client-side race where the
+        # server died between a poll and the fetch.
+        import signal
+        import threading
+        done = threading.Event()
+        signal.signal(signal.SIGTERM, lambda *_: done.set())
+        print("render finished; preview still serving (Ctrl-C to exit)",
+              flush=True)
+        try:
+            done.wait()
+        except KeyboardInterrupt:
+            pass
+        preview.stop()
+
 
 if __name__ == "__main__":
     main()

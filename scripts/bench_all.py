@@ -1,9 +1,18 @@
 #!/usr/bin/env python
-"""Secondary benchmarks: VPT and BDPT ms/spp on the real chip.
+"""Secondary benchmark ledger: every recorded perf metric on the real chip.
 
 bench.py stays the driver's single-line headline (PT Mrays/s); this script
-tracks the other integrators for PARITY.md. Median of BENCH_REPS timed
-dispatches of BENCH_ITERS spp each.
+tracks everything else for PARITY.md and the widened perf tripwire:
+
+    vpt_cbox512_ms_per_spp      homogeneous-medium cbox, 16 bounces
+    bdpt_cbox512_ms_per_spp     cbox BDPT, 6 bounces
+    rgbvol_cbox512_s_per_spp    heterogeneous RGB grid volume (delta/ratio)
+    knot290k_s_per_spp          290k-tri PT, 12 bounces (cluster tier)
+    iteorb_s_per_spp            480k-tri PT, 24 bounces (cluster tier)
+
+Median of BENCH_REPS timed dispatches. ROWS=vpt,bdpt,... selects a subset
+(default: all). WRITE=1 rewrites BENCH_SECONDARY.json at the repo root —
+that file is the committed baseline scripts/perf_check.py diffs against.
 """
 import dataclasses
 import json
@@ -13,6 +22,8 @@ import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                 ".."))
+
+ALL_ROWS = ("vpt", "bdpt", "rgbvol", "knot", "orb")
 
 
 def timed(fn, reps):
@@ -37,37 +48,65 @@ def main():
                       os.path.expanduser("~/.cache/adapt_tpu_jax"))
     import jax.numpy as jnp
     from adapt_tpu.scene.compile import load_scene
-    from adapt_tpu.renderer.vpt import render_batch_vpt
-    from adapt_tpu.renderer.bdpt import render_batch_bdpt
 
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     reps = int(os.environ.get("BENCH_REPS", "5"))
+    rows = tuple(os.environ.get("ROWS", ",".join(ALL_ROWS)).split(","))
     key = jax.random.PRNGKey(0)
     out = {}
 
-    # VPT: bounded-medium cornell box (BASELINE config 4 family)
-    scene, cfg, _ = load_scene(os.path.join(here, "scenes", "vpt"),
-                               "cbox.xml")
-    cfg = dataclasses.replace(cfg, max_bounce=16)
-    spp, fuse = 16, 1
-    f_vpt = jax.jit(lambda k: jnp.sum(render_batch_vpt(
-        scene, cfg, k, jnp.int32(1), spp, fuse)))
-    f_vpt(key)
-    dt = timed(lambda r: f_vpt(jax.random.fold_in(key, r)), reps)
-    out["vpt_cbox512_ms_per_spp"] = round(dt / spp * 1e3, 2)
+    def run(label, folder, xml, renderer, spp, r=None, **cfg_over):
+        scene, cfg, _ = load_scene(os.path.join(here, "scenes", folder), xml)
+        if cfg_over:
+            cfg = dataclasses.replace(cfg, **cfg_over)
+        f = jax.jit(lambda k: jnp.sum(
+            renderer(scene, cfg, k, jnp.int32(1), spp)))
+        f(key)                      # compile
+        dt = timed(lambda i: f(jax.random.fold_in(key, i)), r or reps)
+        return dt / spp
 
-    # BDPT: cornell box, 6 bounces (BASELINE config 3 family)
-    scene, cfg, _ = load_scene(os.path.join(here, "scenes", "cbox"),
-                               "cbox.xml")
-    cfg = dataclasses.replace(cfg, max_bounce=6)
-    spp = 8
-    f_bdpt = jax.jit(lambda k: jnp.sum(render_batch_bdpt(
-        scene, cfg, k, jnp.int32(1), spp)))
-    f_bdpt(key)
-    dt = timed(lambda r: f_bdpt(jax.random.fold_in(key, r)), reps)
-    out["bdpt_cbox512_ms_per_spp"] = round(dt / spp * 1e3, 2)
+    if "vpt" in rows:
+        from adapt_tpu.renderer.vpt import render_batch_vpt
+        vpt = lambda s, c, k, i, spp: render_batch_vpt(s, c, k, i, spp, 1)
+        dt = run("vpt", "vpt", "cbox.xml", vpt, 16, max_bounce=16)
+        out["vpt_cbox512_ms_per_spp"] = round(dt * 1e3, 2)
+
+    if "bdpt" in rows:
+        from adapt_tpu.renderer.bdpt import render_batch_bdpt
+        dt = run("bdpt", "cbox", "cbox.xml", render_batch_bdpt, 8,
+                 max_bounce=6)
+        out["bdpt_cbox512_ms_per_spp"] = round(dt * 1e3, 2)
+
+    if "rgbvol" in rows:
+        from adapt_tpu.renderer.vpt import render_batch_vpt
+        vpt = lambda s, c, k, i, spp: render_batch_vpt(s, c, k, i, spp, 1)
+        dt = run("rgbvol", "cbox", "cbox-rgbvol.xml", vpt, 2, r=3)
+        out["rgbvol_cbox512_s_per_spp"] = round(dt, 3)
+
+    if "knot" in rows:
+        from adapt_tpu.renderer.pt import render_batch_pt
+        pt = lambda s, c, k, i, spp: render_batch_pt(s, c, k, i, spp, 1)
+        dt = run("knot", "cbox", "knot290k.xml", pt, 1, r=3)
+        out["knot290k_s_per_spp"] = round(dt, 3)
+
+    if "orb" in rows:
+        from adapt_tpu.renderer.pt import render_batch_pt
+        pt = lambda s, c, k, i, spp: render_batch_pt(s, c, k, i, spp, 1)
+        dt = run("orb", "cbox", "ite-orb.xml", pt, 1, r=3)
+        out["iteorb_s_per_spp"] = round(dt, 3)
 
     print(json.dumps(out))
+    if os.environ.get("WRITE"):
+        path = os.path.join(here, "BENCH_SECONDARY.json")
+        ledger = {}
+        if os.path.exists(path):
+            with open(path) as f:
+                ledger = json.load(f)
+        ledger.update(out)
+        with open(path, "w") as f:
+            json.dump(ledger, f, indent=2)
+            f.write("\n")
+        print(f"wrote {path}", file=sys.stderr)
 
 
 if __name__ == "__main__":

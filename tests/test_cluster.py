@@ -167,6 +167,40 @@ def test_cluster_march_rounds_exact(knot):
         cp.MARCH_ROUNDS = old
 
 
+def test_cluster_queue_exact(knot):
+    """The per-ray candidate-queue closest hit (ADAPT_QUEUE path) is
+    exact for ANY K: K=1 (front-most candidate + cleanup carries the
+    rest), K=2 and K=6 (cleanup tail near-empty). Includes max_t
+    clipping and alive-mask forced misses; also checks the truncation
+    flag logic by comparing kernel winners against the cursor walk."""
+    scene, cfg = knot
+    from adapt_tpu.ops import cluster_pallas as cp
+    from adapt_tpu.ops.intersect import ray_intersect
+    ro, rd = _rays(scene, cfg, jax.random.PRNGKey(29))
+    N = ro.shape[0]
+    max_t = jnp.where(jax.random.uniform(jax.random.PRNGKey(3), (N,)) < .5,
+                      2.0, -1.0)
+    alive = jax.random.uniform(jax.random.PRNGKey(5), (N,)) < 0.8
+    ref = ray_intersect(scene, dataclasses.replace(cfg, use_cluster=False),
+                        ro, rd, max_t=max_t)
+    ccfg = dataclasses.replace(cfg, use_cluster=True)
+    a = np.asarray(alive)
+    old_q, old_k = cp.QUEUE, cp.QUEUE_K
+    try:
+        cp.QUEUE = True
+        for k in (1, 2, 6):
+            cp.QUEUE_K = k
+            got = ray_intersect(scene, ccfg, ro, rd, max_t=max_t,
+                                alive=alive)
+            assert (np.asarray(got.prim_id)[a]
+                    == np.asarray(ref.prim_id)[a]).all(), k
+            assert (np.asarray(got.obj_id)[~a] == -1).all(), k
+            np.testing.assert_allclose(np.asarray(got.t)[a],
+                                       np.asarray(ref.t)[a], rtol=2e-6)
+    finally:
+        cp.QUEUE, cp.QUEUE_K = old_q, old_k
+
+
 def test_cluster_shortlist_overflow_fallback(knot):
     """Groups whose shortlist exceeds S=2*SL_WORDS entries take the
     chunk-gated all-cluster overflow sweep. Force S tiny so every group
