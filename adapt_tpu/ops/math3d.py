@@ -26,6 +26,21 @@ def norm(v, keepdims=False):
     return jnp.linalg.norm(v, axis=-1, keepdims=keepdims)
 
 
+def safe_normalize(v, eps=1e-12):
+    """normalize() with a grad-safe zero-vector branch.
+
+    jnp.linalg.norm has a NaN reverse-mode gradient at v=0 (d|v|/dv =
+    v/|v| -> 0/0); a where() that masks the FORWARD value downstream does
+    not stop that NaN cotangent (JAX differentiates both branches), so a
+    single zero-axis lane — e.g. the (anti)parallel Rodrigues fallback on
+    every ceiling hit — poisons jax.grad of the whole image. The n2==0
+    branch below substitutes a constant denominator, whose gradient is 0.
+    Forward values are bit-identical to normalize() for nonzero v."""
+    n2 = jnp.sum(v * v, axis=-1, keepdims=True)
+    n = jnp.sqrt(jnp.where(n2 == 0.0, 1.0, n2))
+    return v / jnp.maximum(n, eps)
+
+
 def rotation_between(fixed, target):
     """Batched Rodrigues rotation taking `fixed` to `target` (both unit).
 
@@ -36,7 +51,7 @@ def rotation_between(fixed, target):
     fixed = jnp.broadcast_to(fixed, target.shape)
     axis = jnp.cross(fixed, target)                        # |axis| = sin
     cos_t = dot(fixed, target)[..., None, None]
-    axis_n = normalize(axis)
+    axis_n = safe_normalize(axis)   # grad-safe: axis=0 on parallel lanes
     eye = jnp.eye(3, dtype=target.dtype)
     outer = axis_n[..., :, None] * axis_n[..., None, :]
     ax, ay, az = axis[..., 0], axis[..., 1], axis[..., 2]
@@ -69,7 +84,7 @@ def rotate_between_apply(fixed, target, v):
     fixed = jnp.broadcast_to(fixed, target.shape)
     axis = jnp.cross(fixed, target)          # |axis| = sin(theta)
     cos_t = dot(fixed, target, keepdims=True)
-    k = normalize(axis)
+    k = safe_normalize(axis)        # grad-safe: axis=0 on parallel lanes
     out = (v * cos_t + jnp.cross(axis, v)
            + k * dot(k, v, keepdims=True) * (1.0 - cos_t))
     parallel = jnp.abs(cos_t) >= 1.0 - 1e-5

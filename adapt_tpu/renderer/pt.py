@@ -156,7 +156,15 @@ def trace_pt(scene, cfg, key, ray_o, ray_d):
             active &= max_val >= 1e-4
 
         ray_o, ray_d = st["ray_o"], st["ray_d"]
-        hit_point = ray_o + it.t[..., None] * ray_d
+        # dead lanes carry it.t = -3e38 (the alive-cull force-miss): a
+        # raw hit_point overflows to +/-3e38 and breeds inf/nan in
+        # masked branches downstream. Harmless to the (where-masked)
+        # estimate, but any masked forward nan makes jax.grad of the
+        # whole image nan (backward where() doesn't block the poisoned
+        # branch) — clamp dead lanes to the origin instead. Live-lane
+        # values are bit-identical (differentiable rendering depends on
+        # this; see tests/test_grad.py).
+        hit_point = ray_o + jnp.where(active, it.t, 0.0)[..., None] * ray_d
         mat = st["mat"]
 
         hit_light = st["hit_light"]
