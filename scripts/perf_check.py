@@ -9,6 +9,11 @@ that cannot happen again.
 Usage:
     python scripts/perf_check.py            # runs bench.py on the chip
     python scripts/perf_check.py 385.2      # check a number you already have
+    python scripts/perf_check.py --secondary vpt,bdpt
+        # re-measure those scripts/bench_all.py rows on the chip and diff
+        # them against the committed BENCH_SECONDARY.json ledger (>10%
+        # slower fails; run the rows a renderer/ops change could touch —
+        # r3 shipped its biggest BDPT rewrite unmeasured, VERDICT r3 #3)
 Exit status 0 = ok, 1 = regression, 2 = no baseline found.
 """
 import glob
@@ -21,6 +26,47 @@ import sys
 TOLERANCE = 0.10
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def check_secondary(rows):
+    """Re-run the given bench_all rows and diff vs BENCH_SECONDARY.json.
+
+    All secondary metrics are time-per-spp (lower is better)."""
+    path = os.path.join(REPO, "BENCH_SECONDARY.json")
+    try:
+        with open(path) as f:
+            ledger = json.load(f)
+    except OSError:
+        print("perf_check: no BENCH_SECONDARY.json ledger", file=sys.stderr)
+        return 2
+    env = dict(os.environ, ROWS=rows)
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "bench_all.py")],
+        capture_output=True, text=True, check=True, env=env)
+    fresh = None
+    for line in out.stdout.splitlines():
+        if line.strip().startswith("{"):
+            fresh = json.loads(line)
+    if not fresh:
+        raise RuntimeError(f"no JSON in bench_all output:\n{out.stdout}")
+    rc = 0
+    for k, v in fresh.items():
+        base = ledger.get(k)
+        if base is None:
+            print(f"perf_check: {k}={v} (no ledger row — add it)")
+            continue
+        ceil = base * (1.0 + TOLERANCE)
+        verdict = "OK" if v <= ceil else "REGRESSION"
+        print(f"perf_check: {k} fresh={v} ledger={base} ceil={ceil:.3f}"
+              f" -> {verdict}")
+        if v > ceil:
+            rc = 1
+    if rc:
+        print("perf_check: FAIL — secondary regression; bisect before "
+              "committing (or re-record the ledger with WRITE=1 if the "
+              "change is a justified tradeoff, and say so in the commit).",
+              file=sys.stderr)
+    return rc
 
 
 def last_recorded():
@@ -57,6 +103,9 @@ def fresh_value():
 
 
 def main():
+    if len(sys.argv) > 1 and sys.argv[1] == "--secondary":
+        rows = sys.argv[2] if len(sys.argv) > 2 else "vpt,bdpt"
+        return check_secondary(rows)
     base = last_recorded()
     if base is None:
         print("perf_check: no BENCH_r*.json baseline found", file=sys.stderr)
