@@ -40,7 +40,8 @@ def timed_loop(make_fn, reps=3):
             leaves = jax.tree_util.tree_leaves(out)
             s = jnp.float32(0)
             for l in leaves:
-                s = s + jnp.sum(l[:1].astype(jnp.float32))
+                a = jnp.asarray(l)
+                s = s + jnp.sum(a.ravel()[:1].astype(jnp.float32))
             return acc + s
         return jax.lax.fori_loop(0, R_INNER, body, jnp.float32(0))
 
@@ -129,6 +130,10 @@ def main():
         print(f"queue K={kk}: {t_k*1e3:8.1f} ms{dr}", flush=True)
         prev = t_k
 
+    # any-hit baseline (shadow rays), honestly timed
+    t_any = timed_loop(lambda i: cp.cluster_any_hit(
+        scene, o_s + 1e-6 * i, d_s, far_s))
+    print(f"anyhit baseline (sorted rays): {t_any*1e3:8.1f} ms", flush=True)
     print(f"topk    {t_topk*1e3:8.1f} ms", flush=True)
     print(f"sort12  {t_s12*1e3:8.1f} ms   sort9 {t_s9*1e3:8.1f} ms   "
           f"unsort3 {t_su3*1e3:8.1f} ms", flush=True)
