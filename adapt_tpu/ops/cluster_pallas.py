@@ -162,6 +162,25 @@ MARCH_ROUNDS = int(os.environ.get("ADAPT_MARCH_ROUNDS", "2"))
 # sort (vs 3 passes + ~8 sorts) for the same per-ray granularity.
 QUEUE = os.environ.get("ADAPT_QUEUE", "0") != "0"
 QUEUE_K = int(os.environ.get("ADAPT_QUEUE_K", "4"))
+# MAJORITY-round closest hit (see majority_closest): rays sorted by
+# their front candidate, each tile visits exactly ONE cluster per round
+# (its median lane's pending candidate) — no per-entry sweep steps, no
+# gates (DMA + brute are measured-free; per-entry scalar scaffolding is
+# the binding cost of the union sweep). Per-lane queue pointers advance
+# on (tested by my tile) | (entry >= t_best); stragglers finish through
+# the exact far-tightened union pass. scripts/sim_majority.py: round 0
+# covers 91%/73% (camera/bounce), 2 rounds + cleanup ≈ 1.1-1.7
+# tile-visits vs the union sweep's ~9.7.
+# MEASURED DEAD END (keep off): on-chip knot290k bounce-closest
+# microbench (scripts/bench_queue.py) R=1/2/3 all land 147-153 ms vs
+# the union baseline's 151.2 and queue K=1's 61.7 — the per-round
+# wavefront re-sorts (~8 multi-operand sort passes each) eat exactly
+# the sweep savings the sim predicted, same cost structure that killed
+# the march. Per-ray granularity is only worth it at ONE up-front sort
+# (the queue design); anything that re-sorts per round loses.
+MAJ = os.environ.get("ADAPT_MAJ", "0") != "0"
+MAJ_R = int(os.environ.get("ADAPT_MAJ_R", "2"))
+MAJ_K = int(os.environ.get("ADAPT_MAJ_K", "4"))
 # max elements of one (gb, G*B, C) slab intermediate in _tile_shortlists
 _SL_MAX_ELEMS = 1 << 23
 
@@ -1108,9 +1127,12 @@ def _topk_candidates(scene, ro, rd, far, K):
 
     One blockwise dense (N, C) slab pass (boxes inflated a few ulp like
     _tile_shortlists, so FMA differences can only ADD candidates).
-    Returns (ids (N, K) i32 — C where the ray has fewer candidates —
-    and more (N,) bool: the ray enters MORE than K clusters before far,
-    i.e. its queue is truncated and needs the exact cleanup pass).
+    Returns (ids (N, K) i32 — C where the ray has fewer candidates —,
+    ents (N, K) f32 — the inflated-box entry distance of each candidate
+    (+inf where invalid), a safe LOWER bound on any prim-hit t inside
+    it, so `ent >= t_best` soundly prunes the entry —, and more (N,)
+    bool: the ray enters MORE than K clusters before far, i.e. its
+    queue is truncated and needs the exact cleanup pass).
     Candidate clusters of dead lanes (far <= 0) all key to C."""
     C = scene.cl_aabb.shape[0]
     ext = jnp.abs(scene.cl_aabb[:, 0:3]) + jnp.abs(scene.cl_aabb[:, 3:6]) \
@@ -1139,6 +1161,7 @@ def _topk_candidates(scene, ro, rd, far, K):
         keyed = jnp.where(hit, ent, jnp.inf)
         lane = jax.lax.broadcasted_iota(jnp.int32, keyed.shape, 1)
         ids = []
+        ents = []
         for _ in range(K):
             mt = jnp.min(keyed, axis=1)
             has = jnp.isfinite(mt)
@@ -1146,14 +1169,16 @@ def _topk_candidates(scene, ro, rd, far, K):
             # id first, the tie partner surfaces next iteration
             cid = jnp.min(jnp.where(keyed == mt[:, None], lane, C), axis=1)
             ids.append(jnp.where(has, cid, C).astype(jnp.int32))
+            ents.append(jnp.where(has, mt, jnp.inf).astype(jnp.float32))
             keyed = jnp.where(lane == cid[:, None], jnp.inf, keyed)
         more = jnp.isfinite(jnp.min(keyed, axis=1))
-        return jnp.stack(ids, axis=1), more
+        return jnp.stack(ids, axis=1), jnp.stack(ents, axis=1), more
 
-    ids, more = jax.lax.map(blk, (o.reshape(-1, Bb, 3),
-                                  d.reshape(-1, Bb, 3),
-                                  f.reshape(-1, Bb)))
-    return ids.reshape(Np, K)[:N], more.reshape(Np)[:N]
+    ids, ents, more = jax.lax.map(blk, (o.reshape(-1, Bb, 3),
+                                        d.reshape(-1, Bb, 3),
+                                        f.reshape(-1, Bb)))
+    return (ids.reshape(Np, K)[:N], ents.reshape(Np, K)[:N],
+            more.reshape(Np)[:N])
 
 
 def _pack_ids(ids):
@@ -1243,6 +1268,135 @@ def queue_closest_raw(scene, ray_o, ray_d, far0, packed_ids, more, K):
     t = jnp.where(morep[:, None], t2, t)
     wid = jnp.where(morep[:, None], wid2, wid)
     return t[:N, 0], wid[:N, 0]
+
+
+def _single_kernel(pick_ref, ro_ref, rd_ref, far_ref, wid0_ref, rows_hbm,
+                   t_o, wid_o, buf, sem):
+    """Majority-round visit: tile i brute-tests exactly ONE cluster
+    (pick_ref[0, i]; -1 = skip). No list iteration, no gates — the
+    whole sweep scaffolding the union kernels pay per listed entry is
+    gone; cost per active tile is one DMA + one fused brute test
+    (both measured-free relative to the scaffolding)."""
+    i = pl.program_id(0)
+    t_o[:] = far_ref[:]
+    wid_o[:] = wid0_ref[:]
+    pick = pick_ref[0, i]
+
+    @pl.when(pick >= 0)
+    def _():
+        _visit_cluster_deferred(pick, None, rows_hbm, buf, sem,
+                                ro_ref[:], rd_ref[:], None, t_o, wid_o)
+
+
+def _single_pass(scene, ro, rd, far, Np, wid0, picks):
+    """One majority-round kernel pass over pre-blocked rays.
+
+    picks: (1, nt) i32 cluster id per ray tile (-1 = inactive tile),
+    delivered via scalar prefetch (8 KB SMEM at 512^2)."""
+    C, F, CM = scene.cl_rows.shape
+    grid = (Np // LANE_B,)
+    ray = pl.BlockSpec((LANE_B, 3), lambda i, *_: (i, 0),
+                       memory_space=pltpu.VMEM)
+    col = pl.BlockSpec((LANE_B, 1), lambda i, *_: (i, 0),
+                       memory_space=pltpu.VMEM)
+    rows = pl.BlockSpec(memory_space=pl.ANY)
+    return pl.pallas_call(
+        _single_kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[ray, ray, col, col, rows],
+            out_specs=[col, col],
+            scratch_shapes=[pltpu.VMEM((F, CM), jnp.float32),
+                            pltpu.SemaphoreType.DMA(())]),
+        out_shape=[jax.ShapeDtypeStruct((Np, 1), jnp.float32),
+                   jax.ShapeDtypeStruct((Np, 1), jnp.int32)],
+        interpret=_INTERPRET,
+    )(picks, ro, rd, far, wid0, scene.cl_rows)
+
+
+def _queue_head(ids, ents, ptr, K, C):
+    """Per-lane (id, entry) of the queue entry at ptr (C / +inf past
+    the end). One-hot selects over the tiny K axis — no gathers."""
+    sel = ptr[:, None] == jnp.arange(K, dtype=jnp.int32)[None, :]
+    cid = jnp.sum(jnp.where(sel, ids, 0), axis=1)
+    ent = jnp.sum(jnp.where(sel, jnp.where(jnp.isfinite(ents), ents,
+                                           3e38), 0.0), axis=1)
+    past = ptr >= K
+    return (jnp.where(past, jnp.int32(C), cid),
+            jnp.where(past, jnp.float32(3e38), ent))
+
+
+def majority_closest(scene, ray_o, ray_d, far0, R=None, K=None):
+    """Majority-round closest hit: (t (N,), wid (N,) i32), ORIGINAL order.
+
+    Each round: sort the wavefront by its front pending candidate
+    (octant-tagged), let every tile visit its median lane's candidate
+    (_single_pass — one DMA + one brute test, zero sweep scaffolding),
+    then advance per-lane queue pointers past entries that were either
+    tested by the lane's own tile or provably pruned (inflated-box
+    entry >= current t_best, a sound lower bound on any hit t inside).
+    Rays with pending entries after R rounds (or truncated queues,
+    `more`) finish through the exact tile-union pass with far already
+    tightened to their t_best — every cluster with entry below the
+    final t is therefore visited by one of the stages, so the result
+    is exact (same composition contract as queue_closest_raw).
+
+    vs queue_closest_raw: per-GROUP distinct-candidate lists still pay
+    one sweep step per distinct id per tile (mean 4.0/group measured);
+    here covered tiles pay exactly one visit and no list machinery.
+
+    Reference behavior: tracer/path_tracer.py:338-422 (closest-hit
+    contract); the decomposition has no reference analog."""
+    from .intersect import _sort_by
+    R = MAJ_R if R is None else R
+    K = MAJ_K if K is None else K
+    C = scene.cl_aabb.shape[0]
+    N = ray_o.shape[0]
+    ids, ents, more = _topk_candidates(scene, ray_o, ray_d, far0, K)
+    ents = jnp.where(jnp.isfinite(ents), ents, 3e38)
+    octant = ((ray_d[:, 0] > 0).astype(jnp.int32)
+              + 2 * (ray_d[:, 1] > 0).astype(jnp.int32)
+              + 4 * (ray_d[:, 2] > 0).astype(jnp.int32))
+    pos = jnp.arange(N, dtype=jnp.int32)
+    ro, rd, t = ray_o, ray_d, far0
+    wid = jnp.full((N,), -1, jnp.int32)
+    ptr = jnp.zeros((N,), jnp.int32)
+    more_i = more.astype(jnp.int32)
+    for _r in range(R):
+        cid, _ent = _queue_head(ids, ents, ptr, K, C)
+        key = jnp.where(cid < C, cid * 8 + octant, 8 * C + 7)
+        (ro, rd, t, wid, ids, ents, ptr, more_i, octant,
+         pos) = _sort_by(key, [ro, rd, t, wid, ids, ents, ptr, more_i,
+                               octant, pos], seg=0)
+        cid, _ent = _queue_head(ids, ents, ptr, K, C)
+        rob, rdb, tb, Np = _ray_blocks(ro, rd, t)
+        nt = Np // LANE_B
+        cid_b = jnp.pad(cid, (0, Np - N), constant_values=C)
+        pick = cid_b.reshape(nt, LANE_B)[:, LANE_B // 2]
+        pick = jnp.where(pick < C, pick, -1).astype(jnp.int32)
+        widb = jnp.pad(wid.reshape(N, 1), ((0, Np - N), (0, 0)),
+                       constant_values=-1)
+        t2, wid2 = _single_pass(scene, rob, rdb, tb, Np, widb,
+                                pick.reshape(1, nt))
+        t, wid = t2[:N, 0], wid2[:N, 0]
+        mypick = jnp.broadcast_to(pick[:, None],
+                                  (nt, LANE_B)).reshape(Np)[:N]
+        for _ in range(K):       # advance past tested / pruned entries
+            cid, ent = _queue_head(ids, ents, ptr, K, C)
+            adv = (ptr < K) & ((cid == mypick) | (ent >= t))
+            ptr = ptr + adv.astype(jnp.int32)
+    cid, ent = _queue_head(ids, ents, ptr, K, C)
+    pending = (more_i > 0) | ((ptr < K) & (ent < t))
+    fs = jnp.where(pending, t, -3e38)
+    rob, rdb, fsb, Np = _ray_blocks(ro, rd, fs)
+    widb = jnp.pad(wid.reshape(N, 1), ((0, Np - N), (0, 0)),
+                   constant_values=-1)
+    t3, wid3 = _closest_sl_pass(scene, rob, rdb, fsb, Np, widb, 0)
+    t = jnp.where(pending, t3[:N, 0], t)
+    wid = jnp.where(pending, wid3[:N, 0], wid)
+    t, wid = _sort_by(pos, [t, wid], seg=0)
+    return t, wid
 
 
 def cluster_closest_hit(scene, ray_o, ray_d, far0):

@@ -169,14 +169,26 @@ def ray_intersect(scene, cfg, ray_o, ray_d, max_t=None, alive=None,
                                          jnp.zeros((N,), bool), pre_ng=ng,
                                          pre_obj=obj, pre_final=True,
                                          pre_cid=cid)
+        if _cp.MAJ and _cp.SHORTLIST:
+            # majority rounds sort internally (per-round resorts) and
+            # return original-order results; key_hint is unused
+            t, wid = _cp.majority_closest(scene, ray_o, ray_d, far0)
+            gid, u, v, ng, obj = _cp._resolve_winner(scene, wid, t,
+                                                     ray_o, ray_d)
+            cid = jnp.where(wid >= 0, wid // scene.cl_rows.shape[2], -1)
+            return _assemble_interaction(scene, cfg, ray_o, ray_d, t,
+                                         gid, u, v,
+                                         jnp.zeros((N,), bool), pre_ng=ng,
+                                         pre_obj=obj, pre_final=True,
+                                         pre_cid=cid)
         if _cp.QUEUE and _cp.SHORTLIST:
             # per-ray candidate queues: the dense pass that builds each
             # ray's own front-to-back cluster list also yields the best
             # sort key (the FIRST cluster the ray will enter — finer
             # than key_hint's origin cluster), so key_hint is unused
             C = scene.cl_aabb.shape[0]
-            ids, more = _cp._topk_candidates(scene, ray_o, ray_d, far0,
-                                             _cp.QUEUE_K)
+            ids, _ents, more = _cp._topk_candidates(scene, ray_o, ray_d,
+                                                    far0, _cp.QUEUE_K)
             octant = ((ray_d[:, 0] > 0).astype(jnp.int32)
                       + 2 * (ray_d[:, 1] > 0).astype(jnp.int32)
                       + 4 * (ray_d[:, 2] > 0).astype(jnp.int32))

@@ -84,7 +84,7 @@ def main():
 
     # --- piece 1: topk dense pass ---
     topk = jax.jit(lambda o, d, f: cp._topk_candidates(scene, o, d, f, K))
-    ids, more = topk(o, d, far)
+    ids, _ents, more = topk(o, d, far)
     print(f"candidate count stats: K-th valid "
           f"{float((np.asarray(ids) < C).mean(0)[K-1])*100:.1f}%  "
           f"more>{K}: {float(np.asarray(more).mean())*100:.2f}%", flush=True)
@@ -129,6 +129,13 @@ def main():
         dr = "" if prev is None else f"  (+{(t_k - prev)*1e3:6.1f} ms)"
         print(f"queue K={kk}: {t_k*1e3:8.1f} ms{dr}", flush=True)
         prev = t_k
+
+    # majority rounds (self-contained: topk + sorts + rounds + cleanup)
+    for rr in (1, 2, 3):
+        t_m = timed_loop(lambda i, rr=rr: cp.majority_closest(
+            scene, o + 1e-6 * i, d, far, R=rr)[0])
+        print(f"majority R={rr}: {t_m*1e3:8.1f} ms (incl topk+sorts)",
+              flush=True)
 
     # any-hit baseline (shadow rays), honestly timed
     t_any = timed_loop(lambda i: cp.cluster_any_hit(

@@ -201,6 +201,40 @@ def test_cluster_queue_exact(knot):
         cp.QUEUE, cp.QUEUE_K = old_q, old_k
 
 
+def test_cluster_majority_exact(knot):
+    """The majority-round closest hit (ADAPT_MAJ path) is exact for any
+    (R, K): every cluster with entry below the final t is visited either
+    by a tile pick, pruned by a sound entry>=t bound, or swept by the
+    far-tightened union cleanup. Includes max_t clipping and alive-mask
+    forced misses (R=0 degenerates to pure cleanup = the baseline)."""
+    scene, cfg = knot
+    from adapt_tpu.ops import cluster_pallas as cp
+    from adapt_tpu.ops.intersect import ray_intersect
+    ro, rd = _rays(scene, cfg, jax.random.PRNGKey(31))
+    N = ro.shape[0]
+    max_t = jnp.where(jax.random.uniform(jax.random.PRNGKey(4), (N,)) < .5,
+                      2.0, -1.0)
+    alive = jax.random.uniform(jax.random.PRNGKey(6), (N,)) < 0.8
+    ref = ray_intersect(scene, dataclasses.replace(cfg, use_cluster=False),
+                        ro, rd, max_t=max_t)
+    ccfg = dataclasses.replace(cfg, use_cluster=True)
+    a = np.asarray(alive)
+    old_m, old_r, old_k = cp.MAJ, cp.MAJ_R, cp.MAJ_K
+    try:
+        cp.MAJ = True
+        for r, k in ((0, 4), (1, 1), (2, 4), (3, 2)):
+            cp.MAJ_R, cp.MAJ_K = r, k
+            got = ray_intersect(scene, ccfg, ro, rd, max_t=max_t,
+                                alive=alive)
+            assert (np.asarray(got.prim_id)[a]
+                    == np.asarray(ref.prim_id)[a]).all(), (r, k)
+            assert (np.asarray(got.obj_id)[~a] == -1).all(), (r, k)
+            np.testing.assert_allclose(np.asarray(got.t)[a],
+                                       np.asarray(ref.t)[a], rtol=2e-6)
+    finally:
+        cp.MAJ, cp.MAJ_R, cp.MAJ_K = old_m, old_r, old_k
+
+
 def test_cluster_shortlist_overflow_fallback(knot):
     """Groups whose shortlist exceeds S=2*SL_WORDS entries take the
     chunk-gated all-cluster overflow sweep. Force S tiny so every group
