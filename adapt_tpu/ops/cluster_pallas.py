@@ -181,6 +181,18 @@ QUEUE_K = int(os.environ.get("ADAPT_QUEUE_K", "4"))
 MAJ = os.environ.get("ADAPT_MAJ", "0") != "0"
 MAJ_R = int(os.environ.get("ADAPT_MAJ_R", "2"))
 MAJ_K = int(os.environ.get("ADAPT_MAJ_K", "4"))
+# QUEUE-PICK closest hit (see qpick_closest): the per-ray-granularity
+# design rebuilt around the measured fixed costs that made march/queue/
+# majority end-to-end neutral. ONE Pallas front-cluster pass (cluster
+# AABBs resident in VMEM — replaces the 31.6 ms XLA dense (N,C) topk
+# and the per-call shortlist reductions), ONE wavefront sort, QP_P
+# per-tile pick passes through the scalar-prefetch _single_pass
+# primitive (1 visit/tile/pass, no SMEM list-row budget — vs
+# _round_lists' G=4-tile groups sweeping a measured mean 4.0 distinct
+# candidates), then the exact far-tightened union cleanup for residual
+# lanes (rank >= P within the tile, or >1 entered cluster).
+QPICK = os.environ.get("ADAPT_QPICK", "0") != "0"
+QP_P = int(os.environ.get("ADAPT_QP_P", "2"))
 # max elements of one (gb, G*B, C) slab intermediate in _tile_shortlists
 _SL_MAX_ELEMS = 1 << 23
 
@@ -1399,6 +1411,279 @@ def majority_closest(scene, ray_o, ray_d, far0, R=None, K=None):
     return t, wid
 
 
+def _front_kernel(C, ab_ref, ro_ref, rd_ref, far_ref, cid_o, nxt_o):
+    """Per-lane front-most entered cluster, entirely in VMEM.
+
+    ab_ref: (8, Cp) f32 — rows 0:3 inflated lo xyz, 3:6 inflated hi xyz
+    (padding columns carry lo = hi = +3e38: for any axis with inv > 0
+    the slab t's are huge positive so tn >= far fails the test, and
+    with ALL inv < 0 they are huge negative so tf < ent fails — padded
+    clusters are never candidates). Outputs per lane: cid_o — the
+    front-most (minimum inflated-box entry, ties to the lowest id, the
+    exact tie order of _topk_candidates) entered cluster id, C when the
+    ray enters none — and nxt_o — the entry distance of the SECOND
+    front-most entered cluster (3e38 when fewer than two), a sound
+    lower bound on any prim-hit t outside the front cluster.
+
+    Replaces the blockwise XLA (N, C) dense pass (_topk_candidates,
+    measured 31.6 ms/call at 512^2 x C=1613): the whole AABB table
+    lives in VMEM (8*Cp*4 B, 64 KB at Cp=2048) and each grid step does
+    pure branch-free vector work, so the pass runs at VPU speed instead
+    of materializing (N, C) HBM intermediates."""
+    o = ro_ref[:]                                  # (B, 3)
+    d = rd_ref[:]
+    f = far_ref[:]                                 # (B, 1)
+    inv = 1.0 / jnp.where(jnp.abs(d) < 1e-9, 1e-9, d)
+    Cp = ab_ref.shape[1]
+    B = o.shape[0]
+    tn = jnp.full((B, Cp), -3e38, jnp.float32)
+    tf = jnp.full((B, Cp), 3e38, jnp.float32)
+    for k in range(3):
+        t1 = (ab_ref[k:k + 1, :] - o[:, k:k + 1]) * inv[:, k:k + 1]
+        t2 = (ab_ref[k + 3:k + 4, :] - o[:, k:k + 1]) * inv[:, k:k + 1]
+        tn = jnp.maximum(tn, jnp.minimum(t1, t2))
+        tf = jnp.minimum(tf, jnp.maximum(t1, t2))
+    ent = jnp.maximum(tn, 0.0)
+    hit = (tf >= ent) & (tn < f)
+    keyed = jnp.where(hit, ent, 3e38)
+    lane = jax.lax.broadcasted_iota(jnp.int32, keyed.shape, 1)
+    mt = jnp.min(keyed, axis=1, keepdims=True)             # (B, 1)
+    has = mt < 3e38
+    cid = jnp.min(jnp.where(keyed == mt, lane, Cp), axis=1,
+                  keepdims=True)
+    cid_o[:] = jnp.where(has, cid, C).astype(jnp.int32)
+    rest = jnp.where(lane == cid, 3e38, keyed)
+    nxt_o[:] = jnp.where(has, jnp.min(rest, axis=1, keepdims=True),
+                         jnp.float32(3e38))
+
+
+# VMEM ceiling for the front kernel's (LANE_B, Cp) intermediates: ~8
+# live f32 buffers; at Cp = 4096 and B = 128 that is ~16 MB. Scenes
+# beyond it take the jnp fallback.
+_FRONT_MAX_CP = 4096 * 128 // LANE_B
+
+
+def _front_candidates(scene, ray_o, ray_d, far0):
+    """(cid (N,) i32, nxt (N,) f32) — see _front_kernel. Rays are padded
+    to LANE_B blocks with dead far (no candidates). Falls back to the
+    jnp topk pass when the cluster count exceeds the VMEM budget."""
+    C = scene.cl_aabb.shape[0]
+    N = ray_o.shape[0]
+    Cp = -(-C // 128) * 128
+    if Cp > _FRONT_MAX_CP:
+        ids, ents, _more = _topk_candidates(scene, ray_o, ray_d, far0, 2)
+        nxt = jnp.where(jnp.isfinite(ents[:, 1]), ents[:, 1], 3e38)
+        return ids[:, 0], nxt
+    ext = jnp.abs(scene.cl_aabb[:, 0:3]) + jnp.abs(scene.cl_aabb[:, 3:6]) \
+        + 1.0
+    lo = scene.cl_aabb[:, 0:3] - 1e-6 * ext
+    hi = scene.cl_aabb[:, 3:6] + 1e-6 * ext
+    tbl = jnp.concatenate([lo.T, hi.T,
+                           jnp.zeros((2, C), jnp.float32)], axis=0)
+    tbl = jnp.pad(tbl, ((0, 0), (0, Cp - C)), constant_values=3e38)
+    ro, rd, far, Np = _ray_blocks(ray_o, ray_d, far0)
+    grid = (Np // LANE_B,)
+    ray = pl.BlockSpec((LANE_B, 3), lambda i: (i, 0),
+                       memory_space=pltpu.VMEM)
+    col = pl.BlockSpec((LANE_B, 1), lambda i: (i, 0),
+                       memory_space=pltpu.VMEM)
+    ab = pl.BlockSpec(memory_space=pltpu.VMEM)
+    cid, nxt = pl.pallas_call(
+        functools.partial(_front_kernel, C),
+        grid=grid,
+        in_specs=[ab, ray, ray, col],
+        out_specs=[col, col],
+        out_shape=[jax.ShapeDtypeStruct((Np, 1), jnp.int32),
+                   jax.ShapeDtypeStruct((Np, 1), jnp.float32)],
+        interpret=_INTERPRET,
+    )(tbl, ro, rd, far)
+    return cid[:N, 0], nxt[:N, 0]
+
+
+def _tile_picks(cid_sorted, Np, C, P):
+    """Per-tile first-P DISTINCT candidate ids and per-lane coverage.
+
+    cid_sorted: (Np,) i32, ascending WITHIN each LANE_B tile (the
+    wavefront was just globally sorted by cid-keyed keys). Returns
+    (picks [(nt,) i32, -1 = none] * P, covered (Np,) bool — the lane's
+    own cid is among its tile's first P distinct values)."""
+    nt = Np // LANE_B
+    rows = cid_sorted.reshape(nt, LANE_B)
+    valid = rows < C
+    prev = jnp.concatenate(
+        [jnp.full((nt, 1), -1, jnp.int32), rows[:, :-1]], axis=1)
+    firsts = valid & (rows != prev)
+    rank = jnp.cumsum(firsts.astype(jnp.int32), axis=1) - 1
+    picks = []
+    for p in range(P):
+        sel = firsts & (rank == p)
+        picks.append(jnp.max(jnp.where(sel, rows, -1),
+                             axis=1).astype(jnp.int32))
+    covered = (valid & (rank < P)).reshape(Np)
+    return picks, covered
+
+
+def qpick_closest(scene, ray_o, ray_d, far0, P=None):
+    """Queue-pick closest hit: (t (N,), wid (N,) i32), ORIGINAL order.
+
+    The per-ray-granularity redesign built from the measured fixed
+    costs that made march (a487d99), queue (a776e3a) and majority
+    (ddf0890) end-to-end neutral despite 2-2.6x kernel-side wins:
+
+      1. ONE Pallas front-cluster pass (_front_kernel, AABBs resident
+         in VMEM) replaces the 31.6 ms XLA dense (N, C) pass.
+      2. ONE wavefront sort by (front cid, direction octant) packs
+         same-cluster rays into LANE_B tiles (no per-round re-sorts —
+         the majority design's death).
+      3. P scalar-prefetch pick passes (_single_pass): each tile
+         brute-tests its p'th distinct candidate — 1 visit/tile/pass
+         with zero sweep scaffolding, vs _round_lists' G=4-tile groups
+         sweeping a measured mean 4.0 distinct entries through the
+         SMEM list machinery.
+      4. Exact union cleanup with far already tightened, restricted to
+         residual lanes: rank >= P within the tile, or a second
+         entered cluster whose (inflated, hence sound lower-bound)
+         entry is still below the lane's t_best.
+
+    Exactness: a covered lane's front cluster is brute-tested in full;
+    every other cluster it enters has entry >= nxt, so nxt >= t_best
+    proves no closer hit exists outside it. All other lanes reach the
+    union cleanup whose lists cover every cluster with entry < t_best.
+
+    Reference behavior: tracer/path_tracer.py:338-422 (closest-hit
+    contract); the decomposition has no reference analog."""
+    from .intersect import _sort_by
+    P = QP_P if P is None else P
+    C = scene.cl_aabb.shape[0]
+    N = ray_o.shape[0]
+    cid0, nxt0 = _front_candidates(scene, ray_o, ray_d, far0)
+    octant = ((ray_d[:, 0] > 0).astype(jnp.int32)
+              + 2 * (ray_d[:, 1] > 0).astype(jnp.int32)
+              + 4 * (ray_d[:, 2] > 0).astype(jnp.int32))
+    key = jnp.where(cid0 < C, cid0 * 8 + octant, 8 * C + 7)
+    pos0 = jnp.arange(N, dtype=jnp.int32)
+    ro, rd, t, cid, nxt, pos = _sort_by(
+        key, [ray_o, ray_d, far0, cid0, nxt0, pos0], seg=0)
+    rob, rdb, tb, Np = _ray_blocks(ro, rd, t)
+    nt = Np // LANE_B
+    cid_b = jnp.pad(cid, (0, Np - N), constant_values=jnp.int32(C))
+    picks, covered = _tile_picks(cid_b, Np, C, P)
+    wid = jnp.full((Np, 1), -1, jnp.int32)
+    for p in range(P):
+        tb, wid = _single_pass(scene, rob, rdb, tb, Np, wid,
+                               picks[p].reshape(1, nt))
+    t1, wid1 = tb[:N, 0], wid[:N, 0]
+    residual = (cid < C) & (jnp.logical_not(covered[:N])
+                            | (nxt < t1))
+    fs = jnp.where(residual, t1, -3e38)
+    fsb = jnp.pad(fs.reshape(N, 1), ((0, Np - N), (0, 0)),
+                  constant_values=-3e38)
+    wb = jnp.pad(wid1.reshape(N, 1), ((0, Np - N), (0, 0)),
+                 constant_values=-1)
+    t2, wid2 = _closest_sl_pass(scene, rob, rdb, fsb, Np, wb, 0)
+    t1 = jnp.where(residual, t2[:N, 0], t1)
+    wid1 = jnp.where(residual, wid2[:N, 0], wid1)
+    t, wid = _sort_by(pos, [t1, wid1], seg=0)
+    return t, wid
+
+
+def _single_any_kernel(pick_ref, ro_ref, rd_ref, far_ref, rows_hbm,
+                       occ_o, buf, sem):
+    """Any-hit pick visit: tile i brute-tests exactly ONE cluster."""
+    i = pl.program_id(0)
+    occ_o[:] = jnp.zeros_like(occ_o[:])
+    pick = pick_ref[0, i]
+
+    @pl.when(pick >= 0)
+    def _():
+        _visit_cluster_any_gateless(pick, rows_hbm, buf, sem, ro_ref[:],
+                                    rd_ref[:], far_ref, occ_o)
+
+
+def _any_sl_pass(scene, ro, rd, far, Np):
+    """One shortlist-kernel any-hit pass over pre-blocked rays
+    (extracted from cluster_any_hit so qpick_any can reuse it)."""
+    C, F, CM = scene.cl_rows.shape
+    counts, packed, eblk, G = _tile_shortlists(scene.cl_aabb, ro, rd,
+                                               far)
+    grid, in_specs, out1, _out3 = _specs(Np, shortlist=True)
+    return pl.pallas_call(
+        functools.partial(_any_sl_kernel, G),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=out1,
+            scratch_shapes=[pltpu.VMEM((F, CM), jnp.float32),
+                            pltpu.SemaphoreType.DMA(())]),
+        out_shape=jax.ShapeDtypeStruct((Np, 1), jnp.bool_),
+        interpret=_INTERPRET,
+    )(counts, packed, eblk, ro, rd, far, scene.cl_chunk, scene.cl_rows)
+
+
+def qpick_any(scene, ray_o, ray_d, far0, P=None):
+    """Queue-pick any-hit: occluded (N,) bool, ORIGINAL order.
+
+    Same pipeline as qpick_closest (front pass, one sort, P pick
+    passes, union cleanup) with occlusion accumulation instead of t
+    tightening. A covered unoccluded lane with no second entered
+    cluster (nxt = 3e38) is a settled miss; everything else that
+    entered a cluster and is not yet occluded takes the exact union
+    pass. Occluded lanes get dead far (-3e38) in the cleanup so their
+    groups never sweep.
+
+    Reference behavior: emitters' shadow-ray occlusion test,
+    tracer/path_tracer.py:338-422."""
+    from .intersect import _sort_by
+    P = QP_P if P is None else P
+    C = scene.cl_aabb.shape[0]
+    N = ray_o.shape[0]
+    cid0, nxt0 = _front_candidates(scene, ray_o, ray_d, far0)
+    octant = ((ray_d[:, 0] > 0).astype(jnp.int32)
+              + 2 * (ray_d[:, 1] > 0).astype(jnp.int32)
+              + 4 * (ray_d[:, 2] > 0).astype(jnp.int32))
+    key = jnp.where(cid0 < C, cid0 * 8 + octant, 8 * C + 7)
+    pos0 = jnp.arange(N, dtype=jnp.int32)
+    ro, rd, far, cid, nxt, pos = _sort_by(
+        key, [ray_o, ray_d, far0, cid0, nxt0, pos0], seg=0)
+    rob, rdb, farb, Np = _ray_blocks(ro, rd, far)
+    nt = Np // LANE_B
+    cid_b = jnp.pad(cid, (0, Np - N), constant_values=jnp.int32(C))
+    picks, covered = _tile_picks(cid_b, Np, C, P)
+    grid = (nt,)
+    ray = pl.BlockSpec((LANE_B, 3), lambda i, *_: (i, 0),
+                       memory_space=pltpu.VMEM)
+    col = pl.BlockSpec((LANE_B, 1), lambda i, *_: (i, 0),
+                       memory_space=pltpu.VMEM)
+    rows = pl.BlockSpec(memory_space=pl.ANY)
+    CC, F, CM = scene.cl_rows.shape
+    occ = jnp.zeros((Np, 1), jnp.bool_)
+    for p in range(P):
+        occ_p = pl.pallas_call(
+            _single_any_kernel,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=grid,
+                in_specs=[ray, ray, col, rows],
+                out_specs=col,
+                scratch_shapes=[pltpu.VMEM((F, CM), jnp.float32),
+                                pltpu.SemaphoreType.DMA(())]),
+            out_shape=jax.ShapeDtypeStruct((Np, 1), jnp.bool_),
+            interpret=_INTERPRET,
+        )(picks[p].reshape(1, nt), rob, rdb, farb, scene.cl_rows)
+        occ = occ | occ_p
+    occ1 = occ[:N, 0]
+    residual = (cid < C) & jnp.logical_not(occ1) \
+        & (jnp.logical_not(covered[:N]) | (nxt < 3e38))
+    fs = jnp.where(residual, far, -3e38)
+    fsb = jnp.pad(fs.reshape(N, 1), ((0, Np - N), (0, 0)),
+                  constant_values=-3e38)
+    occ2 = _any_sl_pass(scene, rob, rdb, fsb, Np)
+    occ1 = occ1 | (residual & occ2[:N, 0])
+    (occ1,) = _sort_by(pos, [occ1.astype(jnp.int32)], seg=0)
+    return occ1 > 0
+
+
 def cluster_closest_hit(scene, ray_o, ray_d, far0):
     """Closest hit through the cluster decomposition.
 
@@ -1448,27 +1733,14 @@ def cluster_closest_hit(scene, ray_o, ray_d, far0):
 
 def cluster_any_hit(scene, ray_o, ray_d, far0):
     """True where any prim lies strictly before far0."""
+    if SHORTLIST and QPICK:
+        return qpick_any(scene, ray_o, ray_d, far0)
     N = ray_o.shape[0]
     C, F, CM = scene.cl_rows.shape
     Cp = scene.cl_aabb_t.shape[1]
     ro, rd, far, Np = _ray_blocks(ray_o, ray_d, far0)
     if SHORTLIST:
-        counts, packed, eblk, G = _tile_shortlists(scene.cl_aabb, ro, rd,
-                                                   far)
-        grid, in_specs, out1, _out3 = _specs(Np, shortlist=True)
-        occ = pl.pallas_call(
-            functools.partial(_any_sl_kernel, G),
-            grid_spec=pltpu.PrefetchScalarGridSpec(
-                num_scalar_prefetch=3,
-                grid=grid,
-                in_specs=in_specs,
-                out_specs=out1,
-                scratch_shapes=[pltpu.VMEM((F, CM), jnp.float32),
-                                pltpu.SemaphoreType.DMA(())]),
-            out_shape=jax.ShapeDtypeStruct((Np, 1), jnp.bool_),
-            interpret=_INTERPRET,
-        )(counts, packed, eblk, ro, rd, far, scene.cl_chunk,
-          scene.cl_rows)
+        occ = _any_sl_pass(scene, ro, rd, far, Np)
         return occ[:N, 0]
     order = _tile_cluster_order(scene.cl_aabb, ro, rd)
     grid, in_specs, out1, _out3 = _specs(Np)

@@ -169,6 +169,19 @@ def ray_intersect(scene, cfg, ray_o, ray_d, max_t=None, alive=None,
                                          jnp.zeros((N,), bool), pre_ng=ng,
                                          pre_obj=obj, pre_final=True,
                                          pre_cid=cid)
+        if _cp.QPICK and _cp.SHORTLIST:
+            # queue-pick: Pallas front-cluster pass + one sort + P
+            # per-tile pick passes + exact union cleanup (original-order
+            # results; key_hint unused — the front pass IS the key)
+            t, wid = _cp.qpick_closest(scene, ray_o, ray_d, far0)
+            gid, u, v, ng, obj = _cp._resolve_winner(scene, wid, t,
+                                                     ray_o, ray_d)
+            cid = jnp.where(wid >= 0, wid // scene.cl_rows.shape[2], -1)
+            return _assemble_interaction(scene, cfg, ray_o, ray_d, t,
+                                         gid, u, v,
+                                         jnp.zeros((N,), bool), pre_ng=ng,
+                                         pre_obj=obj, pre_final=True,
+                                         pre_cid=cid)
         if _cp.MAJ and _cp.SHORTLIST:
             # majority rounds sort internally (per-round resorts) and
             # return original-order results; key_hint is unused
@@ -519,6 +532,21 @@ def intersect_pair(scene, cfg, origin, d_shadow, shadow_max_t, d_next,
     if alive is not None:
         sfar = jnp.where(alive, sfar, -3e38)
         nfar = jnp.where(alive, nfar, -3e38)
+    if _cp.QPICK and _cp.SHORTLIST:
+        # queue-pick sorts each wavefront internally by its OWN front
+        # cluster (the shadow rays' coherence key, not the
+        # continuation's) — the fused outer sort and the key pass both
+        # drop out
+        occ = _cp.qpick_any(scene, origin, d_shadow, sfar)
+        t, wid = _cp.qpick_closest(scene, origin, d_next, nfar)
+        gid, u, v, ng, obj = _cp._resolve_winner(scene, wid, t, origin,
+                                                 d_next)
+        cid = jnp.where(wid >= 0, wid // scene.cl_rows.shape[2], -1)
+        it = _assemble_interaction(scene, cfg, origin, d_next, t, gid,
+                                   u, v, jnp.zeros((N,), bool),
+                                   pre_ng=ng, pre_obj=obj,
+                                   pre_final=True, pre_cid=cid)
+        return occ, it
     key = key_hint if key_hint is not None \
         else _cp.primary_cluster_key(scene, origin, d_next, nfar)
     o_s, ds_s, dn_s, sf_s, nf_s, pos = _sort_by(
@@ -554,11 +582,15 @@ def does_intersect(scene, cfg, ray_o, ray_d, max_t=None, alive=None,
     key_hint: see ray_intersect."""
     if cfg.use_cluster:
         from .cluster_pallas import cluster_any_hit, primary_cluster_key
+        from .cluster_pallas import QPICK, SHORTLIST
         N = ray_o.shape[0]
         far0 = jnp.full((N,), FAR, jnp.float32) if max_t is None \
             else jnp.where(max_t > 0.0, max_t - RAY_EPS, FAR)
         if alive is not None:
             far0 = jnp.where(alive, far0, -3e38)
+        if QPICK and SHORTLIST:
+            # qpick_any sorts internally; outer key pass + sort drop out
+            return cluster_any_hit(scene, ray_o, ray_d, far0)
         key = key_hint if key_hint is not None \
             else primary_cluster_key(scene, ray_o, ray_d, far0)
         ro_s, rd_s, far_s, pos = _sort_by(

@@ -130,11 +130,28 @@ def main():
         print(f"queue K={kk}: {t_k*1e3:8.1f} ms{dr}", flush=True)
         prev = t_k
 
-    # majority rounds (self-contained: topk + sorts + rounds + cleanup)
-    for rr in (1, 2, 3):
-        t_m = timed_loop(lambda i, rr=rr: cp.majority_closest(
-            scene, o + 1e-6 * i, d, far, R=rr)[0])
-        print(f"majority R={rr}: {t_m*1e3:8.1f} ms (incl topk+sorts)",
+    # majority rounds (recorded dead end — BQ_MAJ=1 to re-measure)
+    if os.environ.get("BQ_MAJ", "0") != "0":
+        for rr in (1, 2, 3):
+            t_m = timed_loop(lambda i, rr=rr: cp.majority_closest(
+                scene, o + 1e-6 * i, d, far, R=rr)[0])
+            print(f"majority R={rr}: {t_m*1e3:8.1f} ms (incl topk+sorts)",
+                  flush=True)
+
+    # queue-pick (self-contained: Pallas front pass + sort + P pick
+    # passes + union cleanup), plus the front pass alone
+    if os.environ.get("BQ_QPICK", "1") != "0":
+        t_f = timed_loop(lambda i: cp._front_candidates(
+            scene, o + 1e-6 * i, d, far)[0])
+        print(f"front pass (Pallas): {t_f*1e3:8.1f} ms", flush=True)
+        for pp in (1, 2, 3):
+            t_q = timed_loop(lambda i, pp=pp: cp.qpick_closest(
+                scene, o + 1e-6 * i, d, far, P=pp)[0])
+            print(f"qpick P={pp}: {t_q*1e3:8.1f} ms (incl front+sorts)",
+                  flush=True)
+        t_qa = timed_loop(lambda i: cp.qpick_any(scene, o + 1e-6 * i, d,
+                                                 far))
+        print(f"qpick any: {t_qa*1e3:8.1f} ms (incl front+sorts)",
               flush=True)
 
     # any-hit baseline (shadow rays), honestly timed

@@ -235,6 +235,67 @@ def test_cluster_majority_exact(knot):
         cp.MAJ, cp.MAJ_R, cp.MAJ_K = old_m, old_r, old_k
 
 
+def test_cluster_qpick_exact(knot):
+    """The queue-pick closest hit (ADAPT_QPICK path) is exact for any P:
+    a covered lane's front cluster is brute-tested in full and its
+    second entry bounds every other cluster; all other lanes finish
+    through the far-tightened union cleanup. Includes max_t clipping and
+    alive-mask forced misses. P=0 degenerates to pure cleanup."""
+    scene, cfg = knot
+    from adapt_tpu.ops import cluster_pallas as cp
+    from adapt_tpu.ops.intersect import ray_intersect
+    ro, rd = _rays(scene, cfg, jax.random.PRNGKey(33))
+    N = ro.shape[0]
+    max_t = jnp.where(jax.random.uniform(jax.random.PRNGKey(5), (N,)) < .5,
+                      2.0, -1.0)
+    alive = jax.random.uniform(jax.random.PRNGKey(9), (N,)) < 0.8
+    ref = ray_intersect(scene, dataclasses.replace(cfg, use_cluster=False),
+                        ro, rd, max_t=max_t)
+    ccfg = dataclasses.replace(cfg, use_cluster=True)
+    a = np.asarray(alive)
+    old = cp.QPICK, cp.QP_P
+    try:
+        cp.QPICK = True
+        for p in (0, 1, 2, 3):
+            cp.QP_P = p
+            got = ray_intersect(scene, ccfg, ro, rd, max_t=max_t,
+                                alive=alive)
+            assert (np.asarray(got.prim_id)[a]
+                    == np.asarray(ref.prim_id)[a]).all(), p
+            assert (np.asarray(got.obj_id)[~a] == -1).all(), p
+            np.testing.assert_allclose(np.asarray(got.t)[a],
+                                       np.asarray(ref.t)[a], rtol=2e-6)
+    finally:
+        cp.QPICK, cp.QP_P = old
+
+
+def test_cluster_qpick_any_exact(knot):
+    """qpick_any == the baseline union any-hit for any P, incl. max_t
+    and alive masks (dead lanes return unoccluded)."""
+    scene, cfg = knot
+    from adapt_tpu.ops import cluster_pallas as cp
+    from adapt_tpu.ops.intersect import does_intersect
+    ro, rd = _rays(scene, cfg, jax.random.PRNGKey(41))
+    N = ro.shape[0]
+    max_t = jnp.where(jax.random.uniform(jax.random.PRNGKey(8), (N,)) < .5,
+                      2.0, -1.0)
+    alive = jax.random.uniform(jax.random.PRNGKey(11), (N,)) < 0.8
+    ccfg = dataclasses.replace(cfg, use_cluster=True)
+    ref = does_intersect(scene, ccfg, ro, rd, max_t=max_t, alive=alive)
+    a = np.asarray(alive)
+    old = cp.QPICK, cp.QP_P
+    try:
+        cp.QPICK = True
+        for p in (0, 1, 2):
+            cp.QP_P = p
+            got = does_intersect(scene, ccfg, ro, rd, max_t=max_t,
+                                 alive=alive)
+            assert (np.asarray(got) == np.asarray(ref)).all(), p
+            assert not np.asarray(got)[~a].any(), p
+    finally:
+        cp.QPICK, cp.QP_P = old
+
+
 def test_cluster_shortlist_overflow_fallback(knot):
     """Groups whose shortlist exceeds S=2*SL_WORDS entries take the
     chunk-gated all-cluster overflow sweep. Force S tiny so every group
@@ -321,3 +382,17 @@ def test_intersect_pair_matches_separate_calls(knot):
                                rtol=2e-4, atol=5e-5)
     np.testing.assert_allclose(np.asarray(it.n_g), np.asarray(it_ref.n_g),
                                rtol=2e-5, atol=2e-6)
+
+    # the qpick branch of the pair (no fused outer sort) stays exact
+    from adapt_tpu.ops import cluster_pallas as cp
+    old = cp.QPICK
+    try:
+        cp.QPICK = True
+        occ_q, it_q = intersect_pair(scene, ccfg, ro, d_shadow, sfar, rd,
+                                     alive=alive)
+    finally:
+        cp.QPICK = old
+    assert (np.asarray(occ_q) == np.asarray(occ_ref)).all()
+    assert (np.asarray(it_q.prim_id) == np.asarray(it_ref.prim_id)).all()
+    np.testing.assert_allclose(np.asarray(it_q.t), np.asarray(it_ref.t),
+                               rtol=2e-6)
