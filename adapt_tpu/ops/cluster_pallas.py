@@ -84,6 +84,9 @@ bounce-closest baseline 515 ms):
    CM=256) — defaults updated; the old note kept as context.
  * REMASK=16 and G_ORDER=4: both flat within noise — neither mask
    freshness nor order granularity is the binding constraint.
+ * LANE_B=256 full renders (r4): knot290k 2.519 s/spp (-5%) but
+   ite-orb 9.646 (+73%) — doubled tile unions blow the 480k scene's
+   shortlists into overflow sweeps. Keep B=128.
  * Smaller shortlist groups (G=1 vs the default G=4 at 512^2): simulated
    on true hit data (scripts/sim_early_exit.py) — non-overflow visit
    counts are the SAME (~44/tile for synthetic bounce rays; adjacent
@@ -191,6 +194,12 @@ MAJ_K = int(os.environ.get("ADAPT_MAJ_K", "4"))
 # _round_lists' G=4-tile groups sweeping a measured mean 4.0 distinct
 # candidates), then the exact far-tightened union cleanup for residual
 # lanes (rank >= P within the tile, or >1 entered cluster).
+# Microbench (knot290k all-alive random rays, the qpick-pessimistic
+# case: most lanes multi-entry so the cleanup dominates): front pass
+# 7.2 ms vs 31.6 jnp topk; qpick P=1/2/3 132/130/116 ms and qpick any
+# 124 vs union baselines 151 (closest) / 134 (any). Real bounce rays
+# hit their front cluster 73-91% (scripts/sim_majority.py), so the
+# end-to-end A/B decides the default.
 QPICK = os.environ.get("ADAPT_QPICK", "0") != "0"
 QP_P = int(os.environ.get("ADAPT_QP_P", "2"))
 # max elements of one (gb, G*B, C) slab intermediate in _tile_shortlists
