@@ -200,6 +200,17 @@ MAJ_K = int(os.environ.get("ADAPT_MAJ_K", "4"))
 # 124 vs union baselines 151 (closest) / 134 (any). Real bounce rays
 # hit their front cluster 73-91% (scripts/sim_majority.py), so the
 # end-to-end A/B decides the default.
+# MEASURED DEAD END (keep off): end-to-end A/B on chip (2026-08-20,
+# bench_all rows, ADAPT_QPICK=1): knot290k 2.705 s/spp vs 2.675 default
+# (neutral — the 1.16x incoherent microbench win is diluted by the
+# coherent passes qpick makes no faster), ite-orb 8.335 vs 5.621 (+48%:
+# at 480k prims / CM=512 the pick passes' per-tile single-cluster DMAs
+# and the doubled cleanup sweep lose badly once most tiles hold >2
+# distinct front clusters). Per-ray granularity now has FOUR on-chip
+# losses (march, queue, majority, qpick) with the same shape: the
+# regroup/cleanup fixed costs eat the brute-work savings. Any further
+# big-scene attempt must change the WORK PER VISIT (resident-prim
+# layout, narrower tiles), not the visit schedule.
 QPICK = os.environ.get("ADAPT_QPICK", "0") != "0"
 QP_P = int(os.environ.get("ADAPT_QP_P", "2"))
 # max elements of one (gb, G*B, C) slab intermediate in _tile_shortlists
