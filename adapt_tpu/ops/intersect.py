@@ -630,3 +630,143 @@ def does_intersect(scene, cfg, ray_o, ray_d, max_t=None, alive=None,
         ts = _sphere_hit(ray_o, ray_d, scene.sph_center, scene.sph_radius)
         occluded |= jnp.any((ts > RAY_EPS) & (ts < far[:, None]), axis=1)
     return occluded
+
+
+def _is_null_obj(scene, obj_id):
+    """Null BSDF flag per object id (medium boundary, bsdf.py:238-240)."""
+    from .gather import tgather
+    idx = jnp.maximum(obj_id, 0)
+    return (obj_id >= 0) & tgather(scene.mat_is_bsdf, idx) \
+        & (tgather(scene.mat_type, idx) < 0)
+
+
+def ray_track_hits(scene, cfg, ray_o, ray_d, max_t, alive=None, K=2,
+                   all_null=False):
+    """Everything a media walk needs along each ray, in one batch.
+
+    The batched replacement for a restart-from-the-hit-point media walk
+    (reference vpt.py:101-137 re-intersects after every interface): the
+    walk only needs the closest BLOCKING (non-null) hit plus the null
+    medium interfaces in front of it. ONE Pallas pass extracts both from
+    the triangle set (ops/intersect_pallas.py _track_kernel); sphere
+    prims merge in here — null spheres contribute BOTH quadratic roots
+    (the walk sees entry then exit), non-null spheres tighten the
+    blocker. Lanes with more than K null interfaces raise `overflow` and
+    the caller re-walks them sequentially, so any K >= 1 is exact.
+
+    Returns (t_null (K, N), obj_null (K, N), dn_null (K, N), t_blk (N,),
+    obj_blk (N,), dn_blk (N,), overflow (N,)); depth-major so the small
+    K axis never pads HBM lanes (CLAUDE.md rule 8). Null slots: t = FAR
+    / obj = -1 / dn = 0 when missing, valid slots a prefix, dn =
+    dot(n_g, d) (the walk's enter/exit test). Hits accepted strictly
+    inside (RAY_EPS, max_t - RAY_EPS) with >= CHAIN_SEP separation — the
+    sequential walk's acceptance up to its restarted-origin rounding
+    (see intersect_pallas.CHAIN_SEP).
+
+    all_null=True treats every prim as an interface (t_blk = FAR): the
+    plain first-K-interfaces extraction the khit tests exercise.
+
+    Only for the small-scene Pallas tier (cfg.use_pallas); callers keep
+    the sequential walk elsewhere."""
+    N = ray_o.shape[0]
+    far0 = jnp.full((N,), FAR, jnp.float32) if max_t is None \
+        else jnp.where(max_t > 0.0, max_t - RAY_EPS, FAR)
+    if alive is not None:
+        far0 = jnp.where(alive, far0, -3e38)
+
+    T = scene.tri_n.shape[0]
+    S = scene.sph_center.shape[0]
+    assert cfg.use_pallas and T > 0, "ray_track_hits is the Pallas tier"
+    from .intersect_pallas import tri_track_hits, CHAIN_SEP
+    if all_null:
+        tri_null = jnp.ones((T,), bool)
+    else:
+        tri_null = _is_null_obj(scene, scene.tri_obj)
+    tn_, on_, dn_, tb, ob, db, ovf = tri_track_hits(
+        scene, ray_o, ray_d, far0, K, tri_null)
+    if S == 0:
+        return tn_, on_, dn_, tb, ob, db, ovf
+
+    # sphere roots: reference quadratic (tracer_base.py:183-198)
+    s2c = scene.sph_center[None, :, :] - ray_o[:, None, :]
+    cn2 = jnp.sum(s2c * s2c, axis=-1)                       # (N,S)
+    proj = jnp.einsum("nd,nsd->ns", ray_d, s2c)
+    r2 = (scene.sph_radius * scene.sph_radius)[None, :]
+    c2r = cn2 - proj * proj
+    hit_disc = c2r < r2
+    cut = jnp.sqrt(jnp.maximum(r2 - c2r, 0.0))
+    r_safe = jnp.maximum(scene.sph_radius, 1e-12)[None, :]
+    sph_obj = scene.sph_obj.astype(jnp.int32)
+    sph_null = jnp.ones((S,), bool) if all_null \
+        else _is_null_obj(scene, sph_obj)
+
+    roots_t, roots_dn = [], []
+    for sign in (-1.0, 1.0):
+        t_s = proj + sign * cut                             # (N,S)
+        ok = hit_disc & (t_s > RAY_EPS)
+        roots_t.append(jnp.where(ok, t_s, FAR))
+        roots_dn.append((t_s - proj) / r_safe)
+
+    # non-null spheres tighten the blocker (their first valid root)
+    if not all_null:
+        blk_t = [jnp.where(sph_null[None, :], FAR, rt).T       # (S,N)
+                 for rt in roots_t]
+        bt = jnp.concatenate([tb[None, :]] + blk_t, axis=0)    # (M,N)
+        bobj = jnp.concatenate(
+            [ob[None, :]] + [jnp.broadcast_to(sph_obj[:, None], (S, N))]
+            * 2, axis=0)
+        bdn = jnp.concatenate([db[None, :]]
+                              + [rd.T for rd in roots_dn], axis=0)
+        rows_b = jnp.arange(bt.shape[0], dtype=jnp.int32)[:, None]
+        tmin = jnp.min(bt, axis=0)
+        bi = jnp.min(jnp.where(bt == tmin[None, :], rows_b,
+                               bt.shape[0]), axis=0)
+        oh = rows_b == bi[None, :]
+        hitb = tmin < far0
+        tb = jnp.where(hitb, tmin, FAR)
+        ob = jnp.where(hitb, jnp.sum(jnp.where(oh, bobj, 0), axis=0), -1)
+        db = jnp.where(hitb, jnp.sum(jnp.where(oh, bdn, 0.0), axis=0), 0.0)
+
+    # null sphere roots merge into the interface chain
+    t_cut = jnp.minimum(tb, far0)
+    cand_t = [jnp.where(tn_ < t_cut[None, :], tn_, FAR), ]
+    cand_obj = [on_]
+    cand_dn = [dn_]
+    for rt, rdn in zip(roots_t, roots_dn):
+        ok = sph_null[None, :] & (rt < t_cut[:, None])
+        cand_t.append(jnp.where(ok, rt, FAR).T)             # (S,N)
+        cand_obj.append(jnp.broadcast_to(sph_obj[:, None], (S, N)))
+        cand_dn.append(rdn.T)
+    mt = jnp.concatenate(cand_t, axis=0)                    # (M,N)
+    mobj = jnp.concatenate(cand_obj, axis=0)
+    mdn = jnp.concatenate(cand_dn, axis=0)
+    M = mt.shape[0]
+    rows = jnp.arange(M, dtype=jnp.int32)[:, None]
+
+    outs_t, outs_obj, outs_dn = [], [], []
+    prev = jnp.zeros((N,), jnp.float32)
+    for _k in range(K):
+        cand = jnp.where(mt > prev[None, :], mt, FAR)
+        bt_ = jnp.min(cand, axis=0)                         # (N,)
+        bi_ = jnp.min(jnp.where(cand == bt_[None, :], rows, M), axis=0)
+        oh = rows == bi_[None, :]
+        hit = bt_ < far0
+        outs_t.append(jnp.where(hit, bt_, FAR))
+        outs_obj.append(jnp.where(
+            hit, jnp.sum(jnp.where(oh, mobj, 0), axis=0), -1))
+        outs_dn.append(jnp.where(
+            hit, jnp.sum(jnp.where(oh, mdn, 0.0), axis=0), 0.0))
+        prev = bt_ + CHAIN_SEP
+    rem = jnp.min(jnp.where(mt > prev[None, :], mt, FAR), axis=0)
+    ovf = ovf | (rem < far0)
+    return (jnp.stack(outs_t), jnp.stack(outs_obj), jnp.stack(outs_dn),
+            tb, ob, db, ovf)
+
+
+def ray_k_hits(scene, cfg, ray_o, ray_d, max_t, alive=None, K=7):
+    """First K surface interfaces along each ray, front-to-back: the
+    all-null specialization of ray_track_hits (every prim an interface).
+    Returns (t, obj, dn) each (K, N); see ray_track_hits."""
+    tn_, on_, dn_, _tb, _ob, _db, _ovf = ray_track_hits(
+        scene, cfg, ray_o, ray_d, max_t, alive=alive, K=K, all_null=True)
+    return tn_, on_, dn_

@@ -26,6 +26,16 @@ from jax.experimental.pallas import tpu as pltpu
 
 RAY_EPS = 1e-4
 FAR = 1e7
+# K-hit chain separation: successive accepted interfaces must be more
+# than this apart. HALF the sequential walk's RAY_EPS on purpose: scenes
+# eps-layer adjacent surfaces exactly RAY_EPS apart (e.g. the vpt cbox
+# null box sits 1e-4 above the floor, reference convention), and the
+# restart walk measures that separation at t'~1e-4 scale (accepts
+# robustly) while the chain measures it as a global-t subtraction whose
+# f32 rounding (~1 ulp of t) makes a full-eps margin a coin flip. Half
+# eps keeps the coincident-duplicate rejection and accepts the
+# eps-layered convention with ~0.5e-4 of rounding headroom.
+CHAIN_SEP = 0.5 * RAY_EPS
 LANE_B = 2048          # rays per grid step (4096 measured worse: VMEM
                        # pressure degrades the DMA pipeline)
 MAX_PALLAS_TRIS = 256  # above this the BVH path is the right tool
@@ -116,6 +126,122 @@ def _occ_kernel(ro_ref, rd_ref, far_ref, tn_ref, td_ref, tU_ref, tV_ref,
     valid = (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0) & (t > RAY_EPS) \
         & (jnp.abs(d_n) >= 1e-12) & (t < far_ref[:])
     occ_out[:] = jnp.any(valid, axis=0, keepdims=True)
+
+
+def _track_kernel(ro_ref, rd_ref, far_ref, tn_ref, td_ref, tU_ref, tV_ref,
+                  tcu_ref, tcv_ref, tobj_ref, tng_ref, tnull_ref, t_out,
+                  obj_out, dn_out, tb_out, ob_out, db_out, ov_out, *, K):
+    """Everything a media walk needs along each ray, in ONE pass.
+
+    A restart-from-the-hit-point walk (reference vpt.py:101-137) only
+    cares about (a) the closest BLOCKING (non-null) hit — the walk ends
+    there — and (b) the null medium interfaces in front of it. This
+    kernel does the hit math once (same plane + dual-basis form as
+    _tri_kernel; the sequential walk relaunched it 5.2x/bounce on the
+    16-bounce cbox, 33% of device time) and splits extraction by the
+    per-prim null flag: one min pass for the blocker, K eps-chained
+    extract passes over the (few) null prims. Lanes with more than K
+    null interfaces before the blocker raise the overflow flag and the
+    caller re-walks them sequentially, so any K is exact.
+
+    Null picks are eps-chained (pick k+1 only sees t > t_k + CHAIN_SEP)
+    and clipped strictly before the blocker. Outputs: (K, B) null slots
+    t/obj/dn (FAR/-1/0 on missing slots, valid slots a prefix; dn =
+    dot(n_g, d) — the walk's enter/exit test), (1, B) blocker t/obj/dn,
+    (1, B) i32 overflow flag. With tnull all-ones this degenerates to a
+    plain first-K-interfaces extraction (no blocker, t_blk = FAR)."""
+    ro = ro_ref[:]
+    rd = rd_ref[:]
+    tn = tn_ref[:]
+    Tp = tn.shape[0]
+
+    o_n = _dot3(tn, ro)
+    d_n = _dot3(tn, rd)
+    o_u = _dot3(tU_ref[:], ro)
+    d_u = _dot3(tU_ref[:], rd)
+    o_v = _dot3(tV_ref[:], ro)
+    d_v = _dot3(tV_ref[:], rd)
+    dn_g = _dot3(tng_ref[:], rd)       # (Tp, B) table-normal dots
+
+    denom = jnp.where(jnp.abs(d_n) < 1e-12, 1e-12, d_n)
+    t = (td_ref[:] - o_n) / denom
+    u = o_u + t * d_u - tcu_ref[:]
+    v = o_v + t * d_v - tcv_ref[:]
+    valid = (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0) & (t > RAY_EPS) \
+        & (jnp.abs(d_n) >= 1e-12)
+    tm = jnp.where(valid, t, FAR)
+    row = jax.lax.broadcasted_iota(jnp.int32, tm.shape, 0)
+    tobj = jnp.broadcast_to(tobj_ref[:], tm.shape)
+    far = far_ref[:]
+    is_null = tnull_ref[:] > 0.0       # (Tp, 1) broadcasts
+
+    def pick(cand):
+        best_t = jnp.min(cand, axis=0, keepdims=True)          # (1, B)
+        best_i = jnp.min(jnp.where(cand == best_t, row, Tp), axis=0,
+                         keepdims=True)
+        one_hot = row == best_i
+        o = jnp.sum(jnp.where(one_hot, tobj, 0), axis=0, keepdims=True)
+        d = jnp.sum(jnp.where(one_hot, dn_g, 0.0), axis=0, keepdims=True)
+        return best_t, o, d
+
+    # closest blocker (any non-null prim ends the walk)
+    t_blk, o_blk, d_blk = pick(jnp.where(is_null, FAR, tm))
+    hit_b = t_blk < far
+    tb_out[:] = jnp.where(hit_b, t_blk, FAR)
+    ob_out[:] = jnp.where(hit_b, o_blk, -1)
+    db_out[:] = jnp.where(hit_b, d_blk, 0.0)
+    t_cut = jnp.minimum(t_blk, far)
+
+    # K eps-chained null interfaces strictly before the blocker
+    tm_n = jnp.where(is_null & (tm < t_cut), tm, FAR)
+    prev = jnp.zeros_like(far)
+    for k in range(K):
+        cand = jnp.where(tm_n > prev, tm_n, FAR)
+        best_t, o, d = pick(cand)
+        hit = best_t < far
+        t_out[k:k + 1, :] = jnp.where(hit, best_t, FAR)
+        obj_out[k:k + 1, :] = jnp.where(hit, o, -1)
+        dn_out[k:k + 1, :] = jnp.where(hit, d, 0.0)
+        prev = best_t + CHAIN_SEP
+    # any null candidate left beyond the chain -> caller re-walks the lane
+    rem = jnp.min(jnp.where(tm_n > prev, tm_n, FAR), axis=0, keepdims=True)
+    ov_out[:] = (rem < far).astype(jnp.int32)
+
+
+def tri_track_hits(scene, ray_o, ray_d, far0, K, null_flags):
+    """Kernel wrapper: K eps-chained null-interface hits + the closest
+    blocker + overflow, per ray.
+
+    null_flags: (T,) bool per triangle (True = null medium boundary).
+    Returns (t_null (K, N), obj_null (K, N), dn_null (K, N), t_blk (N,),
+    obj_blk (N,), dn_blk (N,), overflow (N,)) — depth-major so the small
+    K axis never pads HBM lanes."""
+    N = ray_o.shape[0]
+    tris = _pad_tris(scene)
+    T = scene.tri_n.shape[0]
+    Tp = tris[0].shape[0]
+    nf = jnp.pad(null_flags.astype(jnp.float32), (0, Tp - T)) \
+        .reshape(Tp, 1)
+    ro, rd, far, Np = _ray_blocks(ray_o, ray_d, far0)
+    grid, in_specs, out_spec = _specs(Np)
+    k_spec = pl.BlockSpec((K, LANE_B), lambda i: (0, i),
+                          memory_space=pltpu.VMEM)
+    tnull, onull, dnull, tb, ob, db, ov = pl.pallas_call(
+        functools.partial(_track_kernel, K=K),
+        grid=grid,
+        in_specs=in_specs + [pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=[k_spec] * 3 + [out_spec] * 4,
+        out_shape=[jax.ShapeDtypeStruct((K, Np), jnp.float32),
+                   jax.ShapeDtypeStruct((K, Np), jnp.int32),
+                   jax.ShapeDtypeStruct((K, Np), jnp.float32),
+                   jax.ShapeDtypeStruct((1, Np), jnp.float32),
+                   jax.ShapeDtypeStruct((1, Np), jnp.int32),
+                   jax.ShapeDtypeStruct((1, Np), jnp.float32),
+                   jax.ShapeDtypeStruct((1, Np), jnp.int32)],
+        interpret=_INTERPRET,
+    )(ro, rd, far, *tris, nf)
+    return (tnull[:, :N], onull[:, :N], dnull[:, :N], tb[0, :N],
+            ob[0, :N], db[0, :N], ov[0, :N].astype(bool))
 
 
 def _pad_tris(scene):

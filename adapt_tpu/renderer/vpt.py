@@ -20,6 +20,7 @@ invisible because every shipped VPT scene uses delta lights.
 from __future__ import annotations
 
 import dataclasses
+import os
 from functools import partial
 
 import jax
@@ -35,6 +36,9 @@ from .base import ProgressiveRenderer, camera_rays, crop_pix_ids
 
 NULL_BUDGET = 8       # extra loop iterations to absorb null-surface crossings
 TRACK_STEPS = 7       # max medium interfaces along a shadow ray (vpt.py:113)
+# batched K-hit media walk (one Pallas pass) vs the sequential
+# restart-from-the-hit-point while loop; A/B knob for the chip
+_KHIT = os.environ.get("ADAPT_KHIT", "1") != "0"
 
 
 _MEDIUM_FIELDS = ("kind", "ior", "u_a", "u_s", "u_e", "ph_par", "ph_pdf")
@@ -82,36 +86,91 @@ def world_bound_time(scene, ray_o, ray_d):
     return jnp.min(jnp.maximum(t0, t1), axis=-1)
 
 
-def track_ray(scene, cfg, start_p, ray_d, depth, key=None, thp=None,
-              active=None, key_hint=None):
-    """Transmittance + ior-weighted propagation time along a shadow path
-    crossing up to TRACK_STEPS medium interfaces (reference vpt.py:101-137).
+def _track_segments_khit(scene, cfg, start_p, ray_d, depth, active):
+    """Vectorized interface walk over one batched track-hits pass.
 
-    Returns (tr (N,3), acc_depth (N,)). tr = 0 where a non-null surface
-    blocks the segment. key/thp are required when the scene has a grid
-    volume (ratio-tracking transmittance, vpt.py:110-112). active: dead
-    lanes skip all intersection work (their tr/time are unused).
-    key_hint: wavefront sort key for the no-media fast path (see
-    ops/intersect.cluster_key_hint); the media while-loop re-intersects
-    from moving points, where a first-segment hint would be stale."""
+    Reproduces _track_loop (reference vpt.py:101-137) slot-for-iteration
+    from ray_track_hits' split extraction: slots 0..h-1 process the null
+    medium interfaces, slot h the terminal iteration — the blocking hit
+    (tr -> 0 after its segment) or the final free segment to the target,
+    exactly the one blocked/miss iteration the loop runs (a block kills
+    `alive` directly, a miss zeroes `remaining`). Segment media resolve
+    from the interface that ENDS each segment (front face -> the segment
+    was outside, back face -> inside that object), identical to the
+    loop's effective_medium(obj, in_free) call. Lanes the extraction
+    could not cover (overflow: more than K null interfaces) re-run
+    through _track_loop — masked to those lanes it costs zero iterations
+    in the common case — so the result is exact for any K. Numerics
+    differ from the restarted walk only by the global-t subtraction
+    (~1 ulp of t)."""
+    from ..ops import medium_ops
+    from ..ops.intersect import ray_track_hits, FAR
+
+    N = start_p.shape[0]
+    # a convex null object is crossed at most twice per segment; lanes
+    # with more interfaces overflow into the exact sequential re-walk
+    K = max(1, min(TRACK_STEPS - 1, 2 * cfg.n_null_objs))
+    w_ior = scene.world_medium.ior[0]
+    tnk, onk, dnk, tb, ob, db, ovf = ray_track_hits(
+        scene, cfg, start_p, ray_d, depth, alive=active, K=K)
+    validk = tnk < FAR                                    # (K,N) prefix
+    h = jnp.sum(validk.astype(jnp.int32), axis=0)         # nulls per lane
+    blocked_term = tb < FAR * 0.5                         # (N,)
+
+    KT = K + 1
+    idx_k = jnp.arange(KT, dtype=jnp.int32)[:, None]
+    is_term = idx_k == h[None, :]
+
+    def pad(a, fill):
+        return jnp.concatenate(
+            [a, jnp.full((1, N), fill, a.dtype)], axis=0)
+
+    t_term = jnp.where(blocked_term, tb, depth)
+    tka = jnp.where(is_term, t_term[None, :], pad(tnk, FAR))
+    oka = jnp.where(is_term,
+                    jnp.where(blocked_term, ob, -1)[None, :], pad(onk, -1))
+    dka = jnp.where(is_term,
+                    jnp.where(blocked_term, db, 0.0)[None, :],
+                    pad(dnk, 0.0))
+    hitk = (idx_k < h[None, :]) | (is_term & blocked_term[None, :])
+
+    t_prev = jnp.concatenate([jnp.zeros((1, N), tka.dtype), tka[:-1]],
+                             axis=0)
+    # dead slots (idx_k > h) see FAR-garbage t_prev/seg; the clamp just
+    # keeps their masked lanes' exp() finite
+    seg = jnp.maximum(tka - t_prev, 0.0)
+    in_free = ~hitk | (dka < 0.0)
+    blocked = is_term & blocked_term[None, :]
+    remaining = depth[None, :] - t_prev
+    alive_k = (idx_k <= h[None, :]) \
+        & ((idx_k == 0) | (remaining > 5e-5))
+    if active is not None:
+        alive_k &= active[None, :]
+
+    rows, scat = effective_medium(scene, cfg, oka.reshape(-1),
+                                  in_free.reshape(-1))
+    seg_tr = medium_ops.transmittance(rows["u_e"], scat,
+                                      seg.reshape(-1)).reshape(KT, N, 3)
+    tr = jnp.prod(jnp.where(alive_k[..., None], seg_tr, 1.0), axis=0)
+    tr = jnp.where(jnp.any(alive_k & blocked, axis=0)[:, None], 0.0, tr)
+    ior = jnp.where(in_free.reshape(-1), w_ior,
+                    rows["ior"]).reshape(KT, N)
+    acc = jnp.sum(jnp.where(alive_k, seg * ior, 0.0), axis=0)
+
+    # exact fallback for overflowing lanes (zero iterations when none)
+    ovf_l = ovf if active is None else (ovf & active)
+    tr_f, acc_f = _track_loop(scene, cfg, start_p, ray_d, depth, ovf_l)
+    tr = jnp.where(ovf[:, None], tr_f, tr)
+    acc = jnp.where(ovf, acc_f, acc)
+    return tr, acc
+
+
+def _track_loop(scene, cfg, start_p, ray_d, depth, active):
+    """Sequential restart-from-the-hit-point media walk
+    (reference vpt.py:101-137): the non-Pallas tier, and the exact
+    fallback for _track_segments_khit overflow lanes."""
     N = start_p.shape[0]
     w_ior = scene.world_medium.ior[0]
-    if not (cfg.world_scattering or cfg.has_null_bsdf or cfg.volume_kind
-            or cfg.medium_kinds):
-        # static fast path: no media anywhere -> binary occlusion
-        from ..ops.intersect import does_intersect
-        occ = does_intersect(scene, cfg, start_p, ray_d, depth,
-                             alive=active, key_hint=key_hint)
-        return (jnp.where(occ[..., None], 0.0, 1.0)
-                * jnp.ones((N, 3), jnp.float32)), depth * w_ior
-    vol_tr = 1.0
-    if cfg.volume_kind:
-        from ..ops import volume_ops
-        key, k_vol = jax.random.split(key)
-        vol_tr = volume_ops.eval_tr_ratio_tracking(
-            scene.volume, cfg.volume_kind, k_vol, start_p, ray_d,
-            jnp.ones((N, 3)) if thp is None else thp, depth,
-            active=active)
 
     def cond(st):
         # early all-lane exit: most shadow segments resolve in 1-2 steps
@@ -146,6 +205,51 @@ def track_ray(scene, cfg, start_p, ray_d, depth, key=None, thp=None,
     init = (jnp.ones((N, 3), jnp.float32), jnp.zeros((N,), jnp.float32),
             start_p, depth, alive0, jnp.int32(0))
     tr, acc, *_ = jax.lax.while_loop(cond, body, init)
+    return tr, acc
+
+
+def track_ray(scene, cfg, start_p, ray_d, depth, key=None, thp=None,
+              active=None, key_hint=None):
+    """Transmittance + ior-weighted propagation time along a shadow path
+    crossing up to TRACK_STEPS medium interfaces (reference vpt.py:101-137).
+
+    Returns (tr (N,3), acc_depth (N,)). tr = 0 where a non-null surface
+    blocks the segment. key/thp are required when the scene has a grid
+    volume (ratio-tracking transmittance, vpt.py:110-112). active: dead
+    lanes skip all intersection work (their tr/time are unused).
+    key_hint: wavefront sort key for the no-media fast path (see
+    ops/intersect.cluster_key_hint); the media walks re-intersect or
+    chain from moving points, where a first-segment hint would be stale."""
+    N = start_p.shape[0]
+    w_ior = scene.world_medium.ior[0]
+    if not (cfg.world_scattering or cfg.has_null_bsdf or cfg.volume_kind
+            or cfg.medium_kinds):
+        # static fast path: no media anywhere -> binary occlusion
+        from ..ops.intersect import does_intersect
+        occ = does_intersect(scene, cfg, start_p, ray_d, depth,
+                             alive=active, key_hint=key_hint)
+        return (jnp.where(occ[..., None], 0.0, 1.0)
+                * jnp.ones((N, 3), jnp.float32)), depth * w_ior
+    vol_tr = 1.0
+    if cfg.volume_kind:
+        from ..ops import volume_ops
+        key, k_vol = jax.random.split(key)
+        vol_tr = volume_ops.eval_tr_ratio_tracking(
+            scene.volume, cfg.volume_kind, k_vol, start_p, ray_d,
+            jnp.ones((N, 3)) if thp is None else thp, depth,
+            active=active)
+
+    if cfg.use_pallas and not cfg.use_cluster and _KHIT \
+            and scene.tri_n.shape[0] > 0:
+        # batched media walk: ONE split-extraction kernel pass + K+1
+        # static vector slots instead of ~5 sequential intersect
+        # relaunches (measured 33% of VPT device time on the 16-bounce
+        # cbox, chain3 profile)
+        tr, acc = _track_segments_khit(scene, cfg, start_p, ray_d, depth,
+                                       active)
+        return tr * vol_tr, acc
+
+    tr, acc = _track_loop(scene, cfg, start_p, ray_d, depth, active)
     return tr * vol_tr, acc
 
 

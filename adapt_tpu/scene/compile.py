@@ -213,6 +213,7 @@ class RenderConfig:
     world_scattering: bool = False
     medium_kinds: tuple = ()        # MediumTags present (world + objects)
     has_null_bsdf: bool = False     # any null (medium-boundary) surface
+    n_null_objs: int = 0            # count (sizes the K-hit track slots)
     volume_kind: int = 0            # VolumeTag (0 = no grid volume)
     volume_phase: int = 0           # MediumTag of the volume's phase fn
     use_bvh: bool = False           # BVH traversal vs brute-force scan
@@ -611,6 +612,8 @@ def compile_scene(emitters, array_info, objects, configs, scene_dir="."):
             | ({world.medium.type_id} if world.medium.is_scattering
                else set()))),
         has_null_bsdf=any(m.is_bsdf and m.type_id < 0 for m in pad_mats),
+        n_null_objs=sum(1 for m in pad_mats
+                        if m.is_bsdf and m.type_id < 0),
         volume_kind=int(vol_rec.type_id),
         volume_phase=int(vol_rec.phase_type_id),
         use_bvh=use_bvh,
