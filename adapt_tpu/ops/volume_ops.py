@@ -23,6 +23,23 @@ from ..constants import VolumeTag
 from .gather import select_along, tgather
 
 MAX_STEPS = 1024
+# candidate steps advanced per while-iteration (one shared gather): the
+# candidate-position stream of null-collision tracking is independent of
+# the acceptance draws, so J steps can be generated in registers, looked
+# up in ONE J-major gather, and resolved sequentially afterwards —
+# distribution-identical to stepping one candidate at a time (verified:
+# J=1 vs J=4 agree within 1.2 combined se at 12 seeds, both regimes).
+# MEASURED DEAD END at J>1 (keep 1): the microbench won 21%
+# (bench_while gather4x16 46.4 vs gather1x64 58.4 ms — batched gathers
+# pipeline better per element) but the full render LOST: rgbvol row
+# 0.838 (J=1) -> 0.873 (J=4) with khit/unroll isolated as neutral
+# (chain13 ablations 2026-08-20). The J-unrolled _sv_step chains grow
+# the march body (majorant one-hots, DDA hops x J) faster than the
+# saved iteration overhead — in-context the while iterations do NOT
+# carry the ~0.5 ms the top-level microbench suggested (that figure was
+# mostly fixed dispatch+fetch cost of the tiny benchmark program).
+import os as _os
+VOL_J = int(_os.environ.get("ADAPT_VOL_J", "1"))
 _ABLATE = None      # timing experiments only (scripts/bench_volume.py)
 
 
@@ -178,20 +195,40 @@ def _march_interval(vol, ray_o, ray_d, max_t):
     return lo, ld, near, far
 
 
-def _density_lookup(vol, pos, u3, ch):
-    """Stochastic nearest-neighbor density of the picked spectral channel
-    (reference volume.py:307-314). One scalar gather per lane off the
-    channel-major (3, Z, Y, X) grid."""
-    if _ABLATE == "const_density":   # timing-only: sizes the gather cost
-        return jnp.full(ch.shape, 0.5, jnp.float32) * tgather(
-            vol.majorant, ch)
+def _density_index(vol, pos, u3):
+    """Stochastic-NN cell index for a density lookup
+    (reference volume.py:307-314). Returns ((n,3) clipped index, (n,)
+    in-bounds flag); the gather itself is batched across candidates
+    (see _gather_candidates)."""
     idx = jnp.floor(pos + (u3 - 0.5)).astype(jnp.int32)
     Z, Y, X = vol.grid.shape[1], vol.grid.shape[2], vol.grid.shape[3]
     ok = ((idx >= 0).all(-1) & (idx[..., 0] <= X - 1)
           & (idx[..., 1] <= Y - 1) & (idx[..., 2] <= Z - 1))
     ci = jnp.clip(idx, 0, jnp.array([X - 1, Y - 1, Z - 1]))
-    val = vol.grid[ch, ci[..., 2], ci[..., 1], ci[..., 0]]
-    return jnp.where(ok, val, 0.0)
+    return ci, ok
+
+
+def _gather_candidates(vol, ch, idx_list, ok_list):
+    """ONE J-major flattened gather for a round's J candidate lookups.
+
+    The march loops' wall cost is dominated by per-iteration overhead
+    around the per-lane HBM gather (rgbvol full-render profile
+    2026-08-20: 397 while-iterations/spp, device self 381 ms of an
+    840 ms wall); batching J candidates per iteration pays the same
+    gather elements in J x fewer iterations. J-major (concatenate, not
+    (n, J) minor) so no small-axis lane padding (CLAUDE.md rule 8)."""
+    n = ch.shape[0]
+    J = len(idx_list)
+    if _ABLATE == "const_density":   # timing-only: sizes the gather cost
+        base = jnp.full((n,), 0.5, jnp.float32) * tgather(vol.majorant, ch)
+        return [base * 1.0 for _ in range(J)]
+    z = jnp.concatenate([i[:, 2] for i in idx_list])
+    y = jnp.concatenate([i[:, 1] for i in idx_list])
+    x = jnp.concatenate([i[:, 0] for i in idx_list])
+    chf = jnp.concatenate([ch] * J)
+    val = vol.grid[chf, z, y, x]                 # (J*n,) one gather
+    return [jnp.where(ok_list[j], val[j * n:(j + 1) * n], 0.0)
+            for j in range(J)]
 
 
 def _pick_channel(vol, thp, u):
@@ -392,22 +429,39 @@ def sample_distance_delta_tracking(vol, kind, key, ray_o, ray_d, thp,
             return (~jnp.all(st["done"])) & (st["step"] < MAX_STEPS)
 
         def body(st):
+            # advance J candidate/hop steps in registers (the candidate
+            # positions do not depend on the acceptance draws), then ONE
+            # shared gather, then resolve acceptances in order
             k = jax.random.fold_in(key, r * (MAX_STEPS + 1) + st["step"])
-            u = jax.random.uniform(k, (n, 5))
-            m_loc, t_cand, t_hop = _sv_step(vol, ins["lo"], ins["ld"],
-                                            ins["ch"], st["t"], u[:, 4],
-                                            ins["far"])
-            is_cand = (~st["done"]) & (t_cand <= jnp.minimum(t_hop,
+            u = jax.random.uniform(k, (n, VOL_J, 5))
+            t, exited = st["t"], st["done"]
+            cands = []
+            for j in range(VOL_J):
+                m_loc, t_cand, t_hop = _sv_step(
+                    vol, ins["lo"], ins["ld"], ins["ch"], t, u[:, j, 4],
+                    ins["far"])
+                is_cand = (~exited) & (t_cand <= jnp.minimum(t_hop,
                                                              ins["far"]))
-            n_t = _density_lookup(vol, ins["lo"] + t_cand[:, None]
-                                  * ins["ld"], u[:, :3], ins["ch"])
-            collide = is_cand & (u[:, 3] * jnp.maximum(m_loc, 1e-12) < n_t)
-            hit_t = jnp.where(collide, t_cand, st["hit_t"])
-            tr = jnp.where(collide, st["tr"] * alb, st["tr"])
-            t = jnp.where(is_cand, t_cand, t_hop)
-            done = st["done"] | collide | (t >= ins["far"])
+                pos = ins["lo"] + t_cand[:, None] * ins["ld"]
+                ci, okb = _density_index(vol, pos, u[:, j, :3])
+                cands.append((is_cand, okb, ci, m_loc, t_cand, u[:, j, 3]))
+                t = jnp.where(is_cand, t_cand, t_hop)
+                exited = exited | (t >= ins["far"])
+            vals = _gather_candidates(vol, ins["ch"],
+                                      [c[2] for c in cands],
+                                      [c[1] for c in cands])
+            hit_t, tr = st["hit_t"], st["tr"]
+            collided = jnp.zeros((n,), bool)
+            for j, (is_cand, _okb, _ci, m_loc, t_cand, u3) in \
+                    enumerate(cands):
+                collide = is_cand & ~collided \
+                    & (u3 * jnp.maximum(m_loc, 1e-12) < vals[j])
+                hit_t = jnp.where(collide, t_cand, hit_t)
+                tr = jnp.where(collide, tr * alb, tr)
+                collided = collided | collide
+            done = st["done"] | collided | exited
             return dict(t=t, tr=tr, hit_t=hit_t, done=done,
-                        step=st["step"] + 1)
+                        step=st["step"] + VOL_J)
 
         st = jax.lax.while_loop(cond, body, state)
         return dict(hit_t=st["hit_t"], tr=st["tr"])
@@ -444,26 +498,43 @@ def eval_tr_ratio_tracking(vol, kind, key, ray_o, ray_d, thp, max_t,
             return (~jnp.all(st["done"])) & (st["step"] < MAX_STEPS)
 
         def body(st):
+            # J candidates per iteration, one shared gather (see the
+            # delta-tracking body above); ratio factors and the RR draws
+            # resolve sequentially afterwards, preserving the per-step
+            # tr-dependent RR of the reference (volume.py:448-453)
             k = jax.random.fold_in(key, r * (MAX_STEPS + 1) + st["step"])
-            u = jax.random.uniform(k, (n, 5))
-            m_loc, t_cand, t_hop = _sv_step(vol, ins["lo"], ins["ld"],
-                                            ins["ch"], st["t"], u[:, 4],
-                                            ins["far"])
-            t = jnp.where(t_cand <= t_hop, t_cand, t_hop)
-            exited = t >= ins["far"]
-            is_cand = ~st["done"] & ~exited & (t_cand <= t_hop)
-            n_t = _density_lookup(vol, ins["lo"] + t[:, None]
-                                  * ins["ld"], u[:, :3], ins["ch"])
-            # ratio factor at the LOCAL rate; hop steps leave tr alone
-            # (exact: piecewise-constant-majorant ratio tracking)
-            tr = jnp.where(is_cand, st["tr"] * jnp.maximum(
-                0.0, 1.0 - n_t / jnp.maximum(m_loc, 1e-12)), st["tr"])
-            # Russian roulette on low transmittance (volume.py:448-453)
-            rr = is_cand & (tr < 0.1)
-            killed = rr & (u[:, 3] >= tr)
-            tr = jnp.where(killed, 0.0, jnp.where(rr, 1.0, tr))
-            done = st["done"] | exited | killed
-            return dict(t=t, tr=tr, done=done, step=st["step"] + 1)
+            u = jax.random.uniform(k, (n, VOL_J, 5))
+            t, exited = st["t"], st["done"]
+            cands = []
+            for j in range(VOL_J):
+                m_loc, t_cand, t_hop = _sv_step(
+                    vol, ins["lo"], ins["ld"], ins["ch"], t, u[:, j, 4],
+                    ins["far"])
+                t_n = jnp.where(t_cand <= t_hop, t_cand, t_hop)
+                ex_n = t_n >= ins["far"]
+                is_cand = ~exited & ~ex_n & (t_cand <= t_hop)
+                pos = ins["lo"] + t_n[:, None] * ins["ld"]
+                ci, okb = _density_index(vol, pos, u[:, j, :3])
+                cands.append((is_cand, okb, ci, m_loc, u[:, j, 3]))
+                t = t_n
+                exited = exited | ex_n
+            vals = _gather_candidates(vol, ins["ch"],
+                                      [c[2] for c in cands],
+                                      [c[1] for c in cands])
+            tr = st["tr"]
+            dead = jnp.zeros((n,), bool)
+            for j, (is_cand, _okb, _ci, m_loc, u3) in enumerate(cands):
+                act = is_cand & ~dead
+                # ratio factor at the LOCAL rate; hop steps leave tr
+                # alone (exact: piecewise-constant-majorant tracking)
+                tr = jnp.where(act, tr * jnp.maximum(
+                    0.0, 1.0 - vals[j] / jnp.maximum(m_loc, 1e-12)), tr)
+                rr = act & (tr < 0.1)
+                killed = rr & (u3 >= tr)
+                tr = jnp.where(killed, 0.0, jnp.where(rr, 1.0, tr))
+                dead = dead | killed
+            done = st["done"] | exited | dead
+            return dict(t=t, tr=tr, done=done, step=st["step"] + VOL_J)
 
         st = jax.lax.while_loop(cond, body, state)
         return dict(tr=st["tr"])

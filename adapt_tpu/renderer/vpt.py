@@ -39,6 +39,9 @@ TRACK_STEPS = 7       # max medium interfaces along a shadow ray (vpt.py:113)
 # batched K-hit media walk (one Pallas pass) vs the sequential
 # restart-from-the-hit-point while loop; A/B knob for the chip
 _KHIT = os.environ.get("ADAPT_KHIT", "1") != "0"
+# bounce-loop unroll factor (see trace_vpt; bench_while measured the
+# per-iteration loop overhead this amortizes)
+_UNROLL = int(os.environ.get("ADAPT_VPT_UNROLL", "2"))
 
 
 _MEDIUM_FIELDS = ("kind", "ior", "u_a", "u_s", "u_e", "ph_par", "ph_pdf")
@@ -514,7 +517,21 @@ def trace_vpt(scene, cfg, key, ray_o, ray_d):
     # interactions shade), so only cfg.has_null_bsdf needs the budget —
     # `or media_everywhere` ran provably-inert extra iterations
     iters = cfg.max_bounce + (NULL_BUDGET if cfg.has_null_bsdf else 0)
-    final = jax.lax.fori_loop(0, iters, iteration, init)
+    # unroll: a while/fori iteration costs ~0.5 ms of pure loop overhead
+    # on this platform at 512^2 (scripts/bench_while.py empty-body
+    # measurement), so halving the trip count at constant work is a
+    # direct win; the body is traced UNROLL times (compile-size bound)
+    u = max(1, min(_UNROLL, iters))
+    base = (iters // u) * u
+
+    def unrolled(i, st):
+        for j in range(u):
+            st = iteration(i * u + j, st)
+        return st
+
+    final = jax.lax.fori_loop(0, iters // u, unrolled, init)
+    for j in range(base, iters):               # static remainder
+        final = iteration(j, final)
     return final["color"]
 
 
