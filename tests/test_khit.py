@@ -130,3 +130,30 @@ def test_track_ray_khit_matches_loop(monkeypatch):
                                rtol=1e-4, atol=1e-6)
     np.testing.assert_allclose(np.asarray(acc_k)[a], np.asarray(acc_l)[a],
                                rtol=1e-4, atol=1e-5)
+
+
+def test_track_khit_overflow_falls_back(monkeypatch):
+    """With K forced to 1 (as if the scene had no null objects), lanes
+    crossing the null box's 2 interfaces overflow the extraction and
+    must re-walk through the exact sequential loop — results must still
+    match the pure-loop path bit-for-tolerance."""
+    scene, cfg, _ = load_scene(SCENE_DIR + "/vpt/", "cbox.xml")
+    ro, rd = _rand_rays(scene, 128, seed=11)
+    depth = jnp.full((128,), 6.0)
+
+    monkeypatch.setattr(vpt_mod, "_KHIT", True)
+    cfg_k = dataclasses.replace(cfg, use_pallas=True, n_null_objs=0)
+    tr_k, acc_k = track_ray(scene, cfg_k, ro, rd, depth)
+
+    cfg_l = dataclasses.replace(cfg, use_pallas=False)
+    tr_l, acc_l = track_ray(scene, cfg_l, ro, rd, depth)
+
+    # sanity: the forced-K=1 run must actually exercise the overflow
+    from adapt_tpu.ops.intersect import ray_track_hits
+    *_n, ovf = ray_track_hits(scene, cfg_k, ro, rd, depth, K=1)
+    assert bool(np.asarray(ovf).any())
+
+    np.testing.assert_allclose(np.asarray(tr_k), np.asarray(tr_l),
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(acc_k), np.asarray(acc_l),
+                               rtol=1e-4, atol=1e-5)
