@@ -274,3 +274,24 @@ def test_walk_places_full_depth_without_null_budget():
     # and the deepest slot is genuinely populated for those lanes
     vt = np.asarray(buf["vtype"])[4]
     assert (vt[vnum == 5] >= 0).all()
+
+
+def test_scan_mode_matches_flat_mode(cbox, monkeypatch):
+    """The per-strategy lax.scan path (deep transient crops exceed the
+    flat-chunk cap) must agree with the flat-batch path: same strategies,
+    same RNG streams, same MIS — scan mode is the only consumer of the
+    traced-index row reads in _mis_weight, which no toy-size test hits
+    otherwise (Q = FLAT_LANES/N makes small frames always flat)."""
+    from adapt_tpu.renderer import bdpt as bdpt_mod
+    scene, cfg = cbox
+    cfg = dataclasses.replace(cfg, max_bounce=3)
+    key = jax.random.PRNGKey(5)
+
+    cl, cs, _b, _c = bdpt_mod.bdpt_pass_core(scene, cfg, key, jnp.int32(1))
+    flat = np.asarray(cl) + np.asarray(cs)
+
+    monkeypatch.setattr(bdpt_mod, "FLAT_MAX_CHUNKS", 0)
+    cl2, cs2, _b2, _c2 = bdpt_mod.bdpt_pass_core(scene, cfg, key,
+                                                 jnp.int32(1))
+    scan = np.asarray(cl2) + np.asarray(cs2)
+    np.testing.assert_allclose(scan, flat, rtol=2e-4, atol=1e-5)
