@@ -40,6 +40,24 @@ MAX_STEPS = 1024
 # mostly fixed dispatch+fetch cost of the tiny benchmark program).
 import os as _os
 VOL_J = int(_os.environ.get("ADAPT_VOL_J", "1"))
+# march-while body repetition (distinct from VOL_J: keeps one gather per
+# sub-step, halving iteration count without growing any single op — the
+# VPT bounce loop's 2x unroll bought 0.4 ms per removed iteration where
+# the gather-merging J-batch lost; this isolates which property matters)
+VOL_UNROLL = int(_os.environ.get("ADAPT_VOL_UNROLL", "1"))
+
+
+def _unrolled(body):
+    if VOL_UNROLL <= 1:
+        return body
+
+    def rep(st):
+        for _ in range(VOL_UNROLL):
+            st = body(st)
+        return st
+    return rep
+
+
 _ABLATE = None      # timing experiments only (scripts/bench_volume.py)
 
 
@@ -463,7 +481,7 @@ def sample_distance_delta_tracking(vol, kind, key, ray_o, ray_d, thp,
             return dict(t=t, tr=tr, hit_t=hit_t, done=done,
                         step=st["step"] + VOL_J)
 
-        st = jax.lax.while_loop(cond, body, state)
+        st = jax.lax.while_loop(cond, _unrolled(body), state)
         return dict(hit_t=st["hit_t"], tr=st["tr"])
 
     outs = _compact_rounds(crossing, inputs, outputs, round_fn)
@@ -536,7 +554,7 @@ def eval_tr_ratio_tracking(vol, kind, key, ray_o, ray_d, thp, max_t,
             done = st["done"] | exited | dead
             return dict(t=t, tr=tr, done=done, step=st["step"] + VOL_J)
 
-        st = jax.lax.while_loop(cond, body, state)
+        st = jax.lax.while_loop(cond, _unrolled(body), state)
         return dict(tr=st["tr"])
 
     outs = _compact_rounds(crossing, inputs, outputs, round_fn)
