@@ -94,6 +94,12 @@ def get_options(argv=None):
     parser.add_argument("--no_save_fig", action="store_true")
     parser.add_argument("--no_watermark", action="store_true")
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--true_unwarped", action="store_true",
+                        help="TRUE camera-unwarped transient binning "
+                             "(subtract the camera first-leg time). The "
+                             "reference declares decomposition="
+                             "transient_lit but coerces it to warped "
+                             "(bdpt.py:42-46); this opt-in implements it")
     parser.add_argument("--width", type=int, default=0,
                         help="override film width (focal rescaled)")
     parser.add_argument("--height", type=int, default=0)

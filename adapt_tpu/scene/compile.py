@@ -232,6 +232,12 @@ class RenderConfig:
     end_s: int = 100
     # transient rendering (reference bdpt.py:40-47,95-108)
     decomposition: str = "none"     # none | transient_cam | transient_lit
+    # TRUE camera-unwarped binning (subtract the camera first-leg time):
+    # the reference DECLARES transient_lit and coerces it to transient_cam
+    # (bdpt.py:42-46, "buggy"); parity keeps that coercion by default and
+    # this opt-in (render.py --true_unwarped) does what the reference
+    # could not
+    unwarp: bool = False
     t_bins: int = 0                 # number of time bins
     t_min: float = 0.0
     t_interval: float = 1.0

@@ -117,6 +117,12 @@ def main():
             cfg, w=w, h=h, focal=cfg.focal * min(w, h) / min(cfg.w, cfg.h),
             start_x=0, end_x=w, start_y=0, end_y=h,
             max_bounce=opts.max_bounce or cfg.max_bounce)
+    if getattr(opts, "true_unwarped", False):
+        import dataclasses
+        if not cfg.transient:
+            raise SystemExit("--true_unwarped needs a transient scene "
+                             "(decomposition key in the XML)")
+        cfg = dataclasses.replace(cfg, unwarp=True)
     rdr = build_renderer(opts, scene, cfg, configs)
     print(f"scene '{opts.scene}/{opts.name}' loaded: "
           f"{int(scene.prim_ng.shape[0])} prims, {cfg.w}x{cfg.h}, "

@@ -75,7 +75,7 @@ def main():
 
         def run(k, case=case, table=tuple(table)):
             def body(carry, row):
-                radiance, raster, _pt = B.connect_strategy(
+                radiance, raster, _pt, _wo = B.connect_strategy(
                     scene, cfg, jax.random.fold_in(k, row[2]),
                     cam_buf, cam_vnum, lit_buf, lit_vnum,
                     row[0], row[1], case=case)

@@ -71,7 +71,7 @@ def main():
             def run_group(case, table, carry):
                 def body(carry, row):
                     cl, cs = carry
-                    rad, raster, _pt = B.connect_strategy(
+                    rad, raster, _pt, _wo = B.connect_strategy(
                         scene, cfg, jax.random.fold_in(k_con, row[2]),
                         cam_buf, cam_vnum, lit_buf, lit_vnum,
                         row[0], row[1], case=case)
