@@ -217,16 +217,21 @@ def main():
         # Same contract here: keep serving the final frame until
         # SIGTERM/Ctrl-C — also removes the client-side race where the
         # server died between a poll and the fetch.
-        import signal
-        import threading
-        done = threading.Event()
-        signal.signal(signal.SIGTERM, lambda *_: done.set())
-        print("render finished; preview still serving (Ctrl-C to exit)",
-              flush=True)
-        try:
-            done.wait()
-        except KeyboardInterrupt:
-            pass
+        # Scripted/CI runs: ADAPT_SERVE_AFTER=0 exits immediately, a
+        # numeric value serves for that many seconds then exits.
+        hold = os.environ.get("ADAPT_SERVE_AFTER", "")
+        if hold != "0":
+            import signal
+            import threading
+            done = threading.Event()
+            signal.signal(signal.SIGTERM, lambda *_: done.set())
+            timeout = float(hold) if hold else None
+            print("render finished; preview still serving "
+                  "(Ctrl-C to exit)", flush=True)
+            try:
+                done.wait(timeout)
+            except KeyboardInterrupt:
+                pass
         preview.stop()
 
 

@@ -46,7 +46,12 @@ def check_secondary(rows):
     fresh = None
     for line in out.stdout.splitlines():
         if line.strip().startswith("{"):
-            fresh = json.loads(line)
+            try:
+                parsed = json.loads(line)
+            except json.JSONDecodeError:
+                continue  # progress/log line that happens to start with {
+            if isinstance(parsed, dict):
+                fresh = parsed
     if not fresh:
         raise RuntimeError(f"no JSON in bench_all output:\n{out.stdout}")
     rc = 0

@@ -157,3 +157,127 @@ def test_track_khit_overflow_falls_back(monkeypatch):
                                rtol=1e-4, atol=1e-6)
     np.testing.assert_allclose(np.asarray(acc_k), np.asarray(acc_l),
                                rtol=1e-4, atol=1e-5)
+
+
+def _cube_obj(x0, x1, y0=0.0, y1=1.0, z0=0.0, z1=1.0):
+    """Axis-aligned box OBJ text with outward-facing windings."""
+    vs = [(x0, y0, z0), (x1, y0, z0), (x1, y1, z0), (x0, y1, z0),
+          (x0, y0, z1), (x1, y0, z1), (x1, y1, z1), (x0, y1, z1)]
+    # quads listed CCW viewed from outside
+    quads = [(1, 2, 3, 4)[::-1],   # z=z0, normal -z
+             (5, 6, 7, 8),         # z=z1, normal +z
+             (1, 5, 8, 4),         # x=x0, normal -x
+             (2, 3, 7, 6),         # x=x1, normal +x
+             (1, 2, 6, 5),         # y=y0, normal -y
+             (4, 8, 7, 3)]         # y=y1, normal +y
+    lines = [f"v {v[0]:.9g} {v[1]:.9g} {v[2]:.9g}" for v in vs]
+    for a, b, c, d in quads:
+        lines.append(f"f {a} {b} {c}")
+        lines.append(f"f {a} {c} {d}")
+    txt = "\n".join(lines) + "\n"
+    # verify windings face outward
+    import numpy as _np
+    v = _np.asarray(vs)
+    ctr = v.mean(0)
+    for a, b, c, d in quads:
+        n = _np.cross(v[b - 1] - v[a - 1], v[c - 1] - v[a - 1])
+        assert _np.dot(n, v[a - 1] - ctr) > 0
+    return txt
+
+
+_EPS_XML = """<?xml version='1.0' encoding='utf-8'?>
+<scene version="1.1">
+  <sensor type="perspective">
+    <float name="fov" value="40"/>
+    <integer name="sample_count" value="1"/>
+    <integer name="max_bounce" value="4"/>
+    <transform name="toWorld">
+      <lookat target="1.5, 0.5, 0.5" origin="-2, 0.5, 0.5" up="0, 1, 0"/>
+    </transform>
+    <film type="film">
+      <integer name="width" value="8"/>
+      <integer name="height" value="8"/>
+    </film>
+  </sensor>
+  <bsdf type="null" id="medA">
+    <medium type="hg">
+      <rgb name="u_a" value="0.7"/>
+      <rgb name="u_s" value="0.9"/>
+      <rgb name="par" value="0.0"/>
+      <float name="ior" value="1.0"/>
+    </medium>
+  </bsdf>
+  <bsdf type="null" id="medB">
+    <medium type="hg">
+      <rgb name="u_a" value="0.2"/>
+      <rgb name="u_s" value="1.6"/>
+      <rgb name="par" value="0.0"/>
+      <float name="ior" value="1.2"/>
+    </medium>
+  </bsdf>
+  <emitter type="point" id="point">
+    <rgb name="emission" value="10.0, 10.0, 10.0"/>
+    <point name="center" x="0.5" y="3.0" z="0.5"/>
+  </emitter>
+  <shape type="obj">
+    <string name="filename" value="boxA.obj"/>
+    <ref type="material" id="medA"/>
+  </shape>
+  <shape type="obj">
+    <string name="filename" value="boxB.obj"/>
+    <ref type="material" id="medB"/>
+  </shape>
+  <world name="w">
+    <rgb name="skybox" value="0.0"/>
+    <rgb name="ambient" value="0.0"/>
+  </world>
+</scene>
+"""
+
+
+def test_track_khit_eps_layered_nulls(tmp_path, monkeypatch):
+    """Null interfaces layered at exactly RAY_EPS (the convention the
+    CHAIN_SEP comment cites: adjacent surfaces 1e-4 apart, as in the vpt
+    cbox null box 1e-4 above the floor). The khit chain accepts the
+    second interface with CHAIN_SEP = 0.5*RAY_EPS headroom; the
+    sequential restart walk accepts it at t' ~ RAY_EPS. Both must agree
+    on transmittance and propagation time, or a scene near the half-eps
+    boundary silently double-counts an interface (ADVICE r4 #1)."""
+    (tmp_path / "boxA.obj").write_text(_cube_obj(0.0, 1.0))
+    (tmp_path / "boxB.obj").write_text(_cube_obj(1.0 + RAY_EPS, 2.0))
+    (tmp_path / "scene.xml").write_text(_EPS_XML)
+    scene, cfg, _ = load_scene(str(tmp_path), "scene.xml")
+    assert cfg.n_null_objs == 2
+
+    # rays straight through both boxes (the x=1.0 / x=1.0+RAY_EPS pair),
+    # plus slightly tilted ones so the gap is crossed at varied angles
+    n = 64
+    rng = np.random.default_rng(23)
+    o = np.stack([np.full(n, -0.5),
+                  rng.uniform(0.1, 0.9, n),
+                  rng.uniform(0.1, 0.9, n)], -1).astype(np.float32)
+    d = np.stack([np.ones(n),
+                  rng.uniform(-0.05, 0.05, n),
+                  rng.uniform(-0.05, 0.05, n)], -1).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    ro, rd = jnp.asarray(o), jnp.asarray(d)
+    depth = jnp.full((n,), 4.0)
+
+    monkeypatch.setattr(vpt_mod, "_KHIT", True)
+    cfg_k = dataclasses.replace(cfg, use_pallas=True)
+    tr_k, acc_k = track_ray(scene, cfg_k, ro, rd, depth)
+
+    cfg_l = dataclasses.replace(cfg, use_pallas=False)
+    tr_l, acc_l = track_ray(scene, cfg_l, ro, rd, depth)
+
+    # sanity: the khit path must handle these lanes itself (no overflow
+    # fallback hiding the chain's acceptance decision)
+    from adapt_tpu.ops.intersect import ray_track_hits
+    K = 2 * cfg.n_null_objs
+    *_n, ovf = ray_track_hits(scene, cfg_k, ro, rd, depth, K=K)
+    assert not bool(np.asarray(ovf).any())
+
+    np.testing.assert_allclose(np.asarray(tr_k), np.asarray(tr_l),
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(acc_k), np.asarray(acc_l),
+                               rtol=1e-4, atol=1e-5)
