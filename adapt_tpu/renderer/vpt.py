@@ -28,11 +28,13 @@ import jax.numpy as jnp
 
 from ..constants import MediumTag
 from ..ops import bxdf_ops, emitter_ops, medium_ops
-from ..ops.intersect import ray_intersect, Interaction, cluster_key_hint
+from ..ops.intersect import (ray_intersect, Interaction, cluster_key_hint,
+                             _sort_by)
 from ..ops.math3d import dot, normalize, norm
 from ..ops.sampling import balance_heuristic
 from ..ops.texture_ops import get_uv_item, process_ns
 from .base import ProgressiveRenderer, camera_rays, crop_pix_ids
+from . import compact
 
 NULL_BUDGET = 8       # extra loop iterations to absorb null-surface crossings
 TRACK_STEPS = 7       # max medium interfaces along a shadow ray (vpt.py:113)
@@ -42,6 +44,46 @@ _KHIT = os.environ.get("ADAPT_KHIT", "1") != "0"
 # bounce-loop unroll factor (see trace_vpt; bench_while measured the
 # per-iteration loop overhead this amortizes)
 _UNROLL = int(os.environ.get("ADAPT_VPT_UNROLL", "2"))
+# ADAPT_KHIT_STATS=1: report the K-hit overflow fraction (lanes that fell
+# back to the masked sequential walk). A scene with concave nulls or many
+# null objects can silently push most lanes into the fallback — correct
+# but a perf cliff; this makes it visible instead of just slow. Printed
+# via debug.callback where the platform supports it (CPU); under the
+# axon tunnel (no callback support) run UNJITTED and read _KHIT_LOG.
+_KHIT_STATS = os.environ.get("ADAPT_KHIT_STATS", "0") == "1"
+_KHIT_LOG = []
+
+
+def _report_overflow(frac):
+    frac = float(frac)
+    if frac > 0.0:
+        print(f"[vpt khit] overflow fraction {frac:.4f} "
+              "(lanes re-walked sequentially)", flush=True)
+
+
+def _log_overflow(frac):
+    if isinstance(frac, jax.core.Tracer):
+        jax.debug.callback(_report_overflow, frac)
+    else:
+        _KHIT_LOG.append(frac)
+        _report_overflow(frac)
+
+
+# Wavefront length-compaction schedule (VERDICT r4 #2; machinery in
+# renderer/compact.py): measured vpt-cbox 512^2 alive/iteration profile
+# 0.93 0.73 0.63 0.56 0.43 0.36 0.30 0.25 0.21 0.15 0.11 0.08 0.07 0.05
+# 0.04 0.03 ... -> 0 at 23 (ADAPT_ALIVE_STATS run, 2026-08-20): splits
+# below each power-of-2 alive boundary are sound. Default set from the
+# on-chip A/B (see PARITY r5 notes); each extra split adds two traced
+# tail branches, so deep schedules buy tail width at real compile cost.
+_COMPACT = compact.parse_schedule(
+    os.environ.get("ADAPT_VPT_COMPACT", ""))
+# report per-iteration alive counts (schedule tuning). Works through an
+# UNJITTED render_pass_vpt call only: the axon PJRT tunnel does not
+# support debug callbacks, so counts are stashed as device scalars in
+# _ALIVE_LOG and read by the caller afterwards.
+_ALIVE_STATS = os.environ.get("ADAPT_ALIVE_STATS", "0") == "1"
+_ALIVE_LOG = []
 
 
 _MEDIUM_FIELDS = ("kind", "ior", "u_a", "u_s", "u_e", "ph_par", "ph_pdf")
@@ -162,6 +204,8 @@ def _track_segments_khit(scene, cfg, start_p, ray_d, depth, active):
 
     # exact fallback for overflowing lanes (zero iterations when none)
     ovf_l = ovf if active is None else (ovf & active)
+    if _KHIT_STATS:
+        _log_overflow(jnp.mean(ovf_l.astype(jnp.float32)))
     tr_f, acc_f = _track_loop(scene, cfg, start_p, ray_d, depth, ovf_l)
     tr = jnp.where(ovf[:, None], tr_f, tr)
     acc = jnp.where(ovf, acc_f, acc)
@@ -256,20 +300,39 @@ def track_ray(scene, cfg, start_p, ray_d, depth, key=None, thp=None,
     return tr * vol_tr, acc
 
 
-@partial(jax.jit, static_argnames=("cfg",))
-def render_pass_vpt(scene, cfg, key, cnt):
+def render_pass_vpt(scene, cfg, key, cnt, schedule=None):
+    """Thin unjitted wrapper: the compaction schedule is resolved HERE
+    (None -> the ADAPT_VPT_COMPACT module default) and passed as a
+    STATIC jit argument — reading a module global inside the jitted body
+    would bake the first caller's schedule into the cache and silently
+    serve it to every later call (the r5 A/B-aliasing bug)."""
+    if schedule is None:
+        schedule = _COMPACT
+    return _render_pass_vpt(scene, cfg, key, cnt, schedule)
+
+
+@partial(jax.jit, static_argnames=("cfg", "schedule"))
+def _render_pass_vpt(scene, cfg, key, cnt, schedule):
     # crop windows trace ONLY crop pixels (reference tracer_base.py:39-55)
     pix = crop_pix_ids(cfg)
     key, cam_key = jax.random.split(key)
     ray_o, ray_d = camera_rays(scene, cfg, cam_key, cnt, pix_ids=pix)
-    color = trace_vpt(scene, cfg, key, ray_o, ray_d)
+    color = trace_vpt(scene, cfg, key, ray_o, ray_d, schedule=schedule)
     if pix is None:
         return color
     return jnp.zeros((cfg.n_pixels, 3), jnp.float32).at[pix].set(color)
 
 
-@partial(jax.jit, static_argnames=("cfg", "spp", "fuse"))
-def render_batch_vpt(scene, cfg, key, cnt0, spp, fuse=1):
+def render_batch_vpt(scene, cfg, key, cnt0, spp, fuse=1, schedule=None):
+    """Unjitted wrapper resolving the compaction schedule (see
+    render_pass_vpt)."""
+    if schedule is None:
+        schedule = _COMPACT
+    return _render_batch_vpt(scene, cfg, key, cnt0, spp, fuse, schedule)
+
+
+@partial(jax.jit, static_argnames=("cfg", "spp", "fuse", "schedule"))
+def _render_batch_vpt(scene, cfg, key, cnt0, spp, fuse, schedule):
     """spp samples in one dispatch; fuse samples share one wide wavefront
     (same launch-overhead amortization as renderer/pt.py)."""
     fuse = max(1, min(fuse, spp))
@@ -287,7 +350,8 @@ def render_batch_vpt(scene, cfg, key, cnt0, spp, fuse=1):
             ros.append(ro)
             rds.append(rd)
         color = trace_vpt(scene, cfg, jax.random.fold_in(sub, 7919),
-                          jnp.concatenate(ros, 0), jnp.concatenate(rds, 0))
+                          jnp.concatenate(ros, 0), jnp.concatenate(rds, 0),
+                          schedule=schedule)
         return acc + jnp.nan_to_num(color,
                                     nan=0.0).reshape(fuse, Nt, 3).sum(0)
 
@@ -297,15 +361,20 @@ def render_batch_vpt(scene, cfg, key, cnt0, spp, fuse=1):
         k_tr, cam_key = jax.random.split(sub)
         ro, rd = camera_rays(scene, cfg, cam_key,
                              cnt0 + iters * fuse + r, pix_ids=pix)
-        acc = acc + jnp.nan_to_num(trace_vpt(scene, cfg, k_tr, ro, rd),
-                                   nan=0.0)
+        acc = acc + jnp.nan_to_num(trace_vpt(scene, cfg, k_tr, ro, rd,
+                                             schedule=schedule), nan=0.0)
     if pix is None:
         return acc
     return jnp.zeros((cfg.n_pixels, 3), jnp.float32).at[pix].set(acc)
 
 
-def trace_vpt(scene, cfg, key, ray_o, ray_d):
-    """Trace a (N,3) wavefront with participating media."""
+def trace_vpt(scene, cfg, key, ray_o, ray_d, schedule=None):
+    """Trace a (N,3) wavefront with participating media.
+
+    schedule: length-compaction splits (STATIC; None -> module default
+    ADAPT_VPT_COMPACT — only safe outside jit)."""
+    if schedule is None:
+        schedule = _COMPACT
     N = ray_o.shape[0]
     world_ior = scene.world_medium.ior[0]
     # a miss can still scatter when the world medium or a grid volume fills
@@ -315,29 +384,36 @@ def trace_vpt(scene, cfg, key, ray_o, ray_d):
                                | ({cfg.volume_phase} if cfg.volume_kind
                                   else set())))
 
+    S = max(cfg.num_shadow_ray, 1)
+    D = 9 + 4 * S                   # uniforms consumed per iteration
+
     init = dict(
-        key=key, ray_o=ray_o, ray_d=ray_d,
+        ray_o=ray_o, ray_d=ray_d,
         it=ray_intersect(scene, cfg, ray_o, ray_d),
         color=jnp.zeros((N, 3), jnp.float32),
         thp=jnp.ones((N, 3), jnp.float32),
         emission_weight=jnp.ones((N,), jnp.float32),
         active=jnp.ones((N,), bool),
         bounce=jnp.zeros((N,), jnp.int32),
+        pos=jnp.arange(N, dtype=jnp.int32),
     )
 
     def iteration(_i, st):
-        key = st["key"]
         active = st["active"]
         thp = st["thp"]
         ray_o, ray_d = st["ray_o"], st["ray_d"]
+        n = active.shape[0]
+        # per-lane counter RNG: draws keyed by (iteration, ORIGINAL lane
+        # id) so a compaction sort cannot change any lane's realization
+        it_key = jax.random.fold_in(key, _i)
+        u_all = compact.lane_uniform(it_key, st["pos"], D)
 
         # --- RR termination (vpt.py:160-168) ---
-        key, rr_key = jax.random.split(key)
         max_val = jnp.max(thp, axis=-1)
         if cfg.use_rr:
             cand = (max_val < cfg.rr_threshold) & (st["bounce"]
                                                    >= cfg.rr_bounce_th)
-            killed = cand & (jax.random.uniform(rr_key, (N,)) > max_val)
+            killed = cand & (u_all[:, 0] > max_val)
             thp = thp * jnp.where(cand, 1.0 / (max_val + 1e-7), 1.0)[..., None]
             active &= ~killed
         else:
@@ -363,15 +439,14 @@ def trace_vpt(scene, cfg, key, ray_o, ray_d):
 
         # --- mean free path sampling (vpt.py:183-186) ---
         rows, scat = effective_medium(scene, cfg, obj_id, in_free)
-        key, k_mfp = jax.random.split(key)
-        u_mfp = jax.random.uniform(k_mfp, (N, 2))
+        u_mfp = u_all[:, 1:3]
         is_mi, mfp, beta = medium_ops.sample_mfp(
             rows["u_e"], rows["u_s"], scat, depth, u_mfp)
         if cfg.volume_kind:
             # grid-volume event overrides the world-medium event
             # (vpt.py:93-99, is_mi = 2 semantics)
             from ..ops import volume_ops
-            key, k_vol = jax.random.split(key)
+            k_vol = jax.random.fold_in(it_key, 7001)
             v_t, v_beta = volume_ops.sample_distance_delta_tracking(
                 scene.volume, cfg.volume_kind, k_vol, ray_o, ray_d, thp,
                 depth, active=active)
@@ -380,7 +455,7 @@ def trace_vpt(scene, cfg, key, ray_o, ray_d):
             beta = jnp.where(is_vol[..., None], v_beta, beta)
             is_mi = is_mi | is_vol
             # medium rows switch to the volume's phase function
-            vol_kind = jnp.full((N,), cfg.volume_phase, jnp.int32)
+            vol_kind = jnp.full((n,), cfg.volume_phase, jnp.int32)
             rows = dict(rows)
             rows["kind"] = jnp.where(is_vol, vol_kind, rows["kind"])
             rows["ph_par"] = jnp.where(is_vol[..., None],
@@ -409,19 +484,18 @@ def trace_vpt(scene, cfg, key, ray_o, ray_d):
             it_s = dataclasses.replace(it, tex=tex)
 
         # --- NEE with transmittance (vpt.py:194-237) ---
-        direct_int = jnp.zeros((N, 3), jnp.float32)
+        direct_int = jnp.zeros((n, 3), jnp.float32)
         for _s in range(cfg.num_shadow_ray):
-            key, k_pick, k_hit = jax.random.split(key, 3)
-            u_pick = jax.random.uniform(k_pick, (N,))
+            u_pick = u_all[:, 3 + 4 * _s]
             eid, emitter_pdf, valid = emitter_ops.sample_light_index(
                 cfg, u_pick, hit_light)
-            u_hit = jax.random.uniform(k_hit, (N, 3))
+            u_hit = u_all[:, 4 + 4 * _s:7 + 4 * _s]
             emit_pos, shadow_int, direct_pdf, _n = emitter_ops.sample_hit(
                 scene, cfg, eid, hit_point, u_hit)
             to_e = emit_pos - hit_point
             e_d = norm(to_e)
             l_dir = to_e / jnp.maximum(e_d[..., None], 1e-12)
-            key, k_tr = jax.random.split(key)
+            k_tr = jax.random.fold_in(it_key, 7101 + _s)
             tr, _t = track_ray(scene, cfg, hit_point, l_dir, e_d,
                                key=k_tr, thp=thp, active=active,
                                key_hint=cluster_key_hint(scene, cfg, it,
@@ -434,7 +508,7 @@ def trace_vpt(scene, cfg, key, ray_o, ray_d):
             surf_val = bxdf_ops.surface_eval(cfg, mat, it_s, ray_d, l_dir,
                                              world_ior, scene=scene)
             d_spec = jnp.where(is_mi[..., None],
-                               jnp.broadcast_to(ph_val[..., None], (N, 3)),
+                               jnp.broadcast_to(ph_val[..., None], (n, 3)),
                                surf_val)
             if cfg.use_mis:
                 light_pdf = emitter_pdf * direct_pdf
@@ -445,7 +519,7 @@ def trace_vpt(scene, cfg, key, ray_o, ray_d):
                 mis_w = jnp.where(emitter_ops.is_delta_pos(scene, eid), 1.0,
                                   balance_heuristic(light_pdf, bsdf_pdf))
             else:
-                mis_w = jnp.ones((N,), jnp.float32)
+                mis_w = jnp.ones((n,), jnp.float32)
             contrib = d_spec * shadow_int * (mis_w / emitter_pdf)[..., None]
             direct_int = direct_int + jnp.where(valid[..., None], contrib,
                                                 0.0)
@@ -457,8 +531,7 @@ def trace_vpt(scene, cfg, key, ray_o, ray_d):
         emit_int = jnp.where((hit_light >= 0)[..., None], emit_le, 0.0)
 
         # --- continuation sampling (vpt.py:245) ---
-        key, k_new = jax.random.split(key)
-        u_new = jax.random.uniform(k_new, (N, 6))
+        u_new = u_all[:, 3 + 4 * S:9 + 4 * S]
         s_dir, s_spec, s_pdf, is_specular = bxdf_ops.surface_sample(
             cfg, mat, it_s, ray_d, u_new, world_ior, scene=scene)
         p_dir, p_val = medium_ops.phase_sample(
@@ -508,31 +581,18 @@ def trace_vpt(scene, cfg, key, ray_o, ray_d):
         else:
             emission_weight = st["emission_weight"]
 
-        return dict(key=key, ray_o=hit_point, ray_d=out_dir, it=it_n,
+        return dict(ray_o=hit_point, ray_d=out_dir, it=it_n,
                     color=color, thp=thp, emission_weight=emission_weight,
-                    active=active, bounce=bounce)
+                    active=active, bounce=bounce, pos=st["pos"])
 
     # null crossings are the only way an iteration advances without
     # incrementing `bounce` (shade = active & ~is_null; medium
     # interactions shade), so only cfg.has_null_bsdf needs the budget —
     # `or media_everywhere` ran provably-inert extra iterations
     iters = cfg.max_bounce + (NULL_BUDGET if cfg.has_null_bsdf else 0)
-    # unroll: a while/fori iteration costs ~0.5 ms of pure loop overhead
-    # on this platform at 512^2 (scripts/bench_while.py empty-body
-    # measurement), so halving the trip count at constant work is a
-    # direct win; the body is traced UNROLL times (compile-size bound)
-    u = max(1, min(_UNROLL, iters))
-    base = (iters // u) * u
-
-    def unrolled(i, st):
-        for j in range(u):
-            st = iteration(i * u + j, st)
-        return st
-
-    final = jax.lax.fori_loop(0, iters // u, unrolled, init)
-    for j in range(base, iters):               # static remainder
-        final = iteration(j, final)
-    return final["color"]
+    return compact.run_compacted(
+        iteration, init, iters, schedule, _UNROLL,
+        alive_log=_ALIVE_LOG if _ALIVE_STATS else None)
 
 
 class VolumeRenderer(ProgressiveRenderer):
