@@ -50,11 +50,25 @@ def lane_uniform(it_key, pos, D):
 
 
 def run_compacted(iteration, init, iters, schedule, unroll,
-                  alive_log=None):
+                  alive_log=None, reduce_fn=None, restore_fn=None):
     """Run `iters` iterations of `iteration(i, st)` with length-
     compaction splits per `schedule`; returns the final color (N, 3) in
-    init's lane order."""
+    init's lane order.
+
+    reduce_fn/restore_fn (optional, both or neither): split-payload
+    reduction. The compile time of a global multi-operand lax.sort
+    scales ~linearly in operands x N and walks off a cliff at the full
+    bounce-loop state (measured on the chip: 4 ops at 262144 = 106 s,
+    12 ops at 65536 = 139 s, 25 ops at 65536 > 110 s -> the full 512^2
+    state sort never returned in 40 min). reduce_fn(st) -> core drops
+    every recomputable leaf (carried interaction, gathered material
+    rows); restore_fn(core) -> st rebuilds them at the (narrow) width —
+    typically one re-intersect of the prefix, far cheaper than sorting
+    12+ extra operands. Bit-exact for alive lanes (the intersect tiers
+    are deterministic per lane); dead-lane differences are masked."""
     N = init["active"].shape[0]
+    if (reduce_fn is None) != (restore_fn is None):
+        raise ValueError("reduce_fn and restore_fn come together")
 
     def run_span(st, start, count):
         """count iterations from absolute index `start` at st's width.
@@ -84,8 +98,10 @@ def run_compacted(iteration, init, iters, schedule, unroll,
 
     def run_tail(st, start, sched):
         w = st["active"].shape[0]
+        # N // d > 0: a div larger than the wavefront (tiny dryrun
+        # shapes) must skip the stage, not slice to width zero
         sched = [(a, d) for (a, d) in sched
-                 if start < a < iters and N // d < w]
+                 if start < a < iters and 0 < N // d < w]
         if not sched:
             return run_span(st, start, iters - start)["color"]
         at, div = sched[0]
@@ -101,23 +117,28 @@ def run_compacted(iteration, init, iters, schedule, unroll,
         # stage attributed colors to the wrong lanes (caught by the vpt
         # golden, 30.5 max pixel diff).
         w = st["active"].shape[0]
+        core = reduce_fn(st) if reduce_fn is not None else st
         skey = jnp.where(st["active"], st["pos"], st["pos"] + N)
         loc = jnp.arange(w, dtype=jnp.int32)
-        leaves, treedef = jax.tree_util.tree_flatten(st)
+        leaves, treedef = jax.tree_util.tree_flatten(core)
         sorted_all = _sort_by(skey, leaves + [loc], seg=0)
-        st_s = jax.tree_util.tree_unflatten(treedef, sorted_all[:-1])
+        core_s = jax.tree_util.tree_unflatten(treedef, sorted_all[:-1])
         loc_s = sorted_all[-1]
         n_alive = jnp.sum(st["active"].astype(jnp.int32))
 
-        def narrow_fn(st_s):
-            pre = jax.tree_util.tree_map(lambda a: a[:W2], st_s)
+        def narrow_fn(core_s):
+            pre = jax.tree_util.tree_map(lambda a: a[:W2], core_s)
+            if restore_fn is not None:
+                pre = restore_fn(pre)
             col_pre = run_tail(pre, at, sched[1:])
-            return jnp.concatenate([col_pre, st_s["color"][W2:]], 0)
+            return jnp.concatenate([col_pre, core_s["color"][W2:]], 0)
 
-        def full_fn(st_s):
-            return run_span(st_s, at, iters - at)["color"]
+        def full_fn(core_s):
+            st_f = restore_fn(core_s) if restore_fn is not None else core_s
+            return run_span(st_f, at, iters - at)["color"]
 
-        col_sorted = jax.lax.cond(n_alive <= W2, narrow_fn, full_fn, st_s)
+        col_sorted = jax.lax.cond(n_alive <= W2, narrow_fn, full_fn,
+                                  core_s)
         # exact inverse of the aliveness sort: loc_s[i] is where sorted
         # slot i's lane sat at stage entry
         (col,) = _sort_by(loc_s, [col_sorted], seg=0)

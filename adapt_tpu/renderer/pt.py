@@ -22,6 +22,21 @@ from ..ops.math3d import dot, normalize, norm
 from ..ops.sampling import balance_heuristic
 from ..ops.texture_ops import get_uv_item, process_ns
 from .base import ProgressiveRenderer, camera_rays, crop_pix_ids
+from . import compact
+
+
+import os as _os
+# PT length-compaction schedule (VERDICT r4 #2; machinery + invariants
+# in renderer/compact.py): measured cbox 512^2 alive/bounce profile
+# 0.93 0.68 0.56 0.47 0.34 0.27 0.22 0.18 0.14 0.06 0.02 0.01. Splits
+# must sit safely under each 1/div boundary.
+# MEASURED DEAD END on the 8-bounce flagship (keep "" there): bench.py
+# 420.6 Mrays/s lane-RNG baseline vs 405.7 with "4:2,7:4" — at ~9.6
+# ms/spp the split sorts + prefix re-intersects cost more than the
+# ~28% of loop width they save. The machinery pays where passes are
+# expensive and deep (VPT -41%; big-scene rows measured separately).
+_COMPACT = compact.parse_schedule(
+    _os.environ.get("ADAPT_PT_COMPACT", ""))
 
 
 def _hit_light(mat, it):
@@ -32,8 +47,17 @@ def _hit_light(mat, it):
     return jnp.where(it.obj_id >= 0, mat.emit, -1)
 
 
-@partial(jax.jit, static_argnames=("cfg", "spp", "fuse"))
-def render_batch_pt(scene, cfg, key, cnt0, spp, fuse=1):
+def render_batch_pt(scene, cfg, key, cnt0, spp, fuse=1, schedule=None):
+    """Unjitted wrapper resolving the compaction schedule (a STATIC jit
+    key — reading the module global inside the jitted body would bake
+    the first caller's schedule into the cache)."""
+    if schedule is None:
+        schedule = _COMPACT
+    return _render_batch_pt(scene, cfg, key, cnt0, spp, fuse, schedule)
+
+
+@partial(jax.jit, static_argnames=("cfg", "spp", "fuse", "schedule"))
+def _render_batch_pt(scene, cfg, key, cnt0, spp, fuse, schedule):
     """spp progressive samples accumulated inside one jit call.
 
     fuse: samples traced together as one (fuse*N,3) wavefront per loop
@@ -64,7 +88,8 @@ def render_batch_pt(scene, cfg, key, cnt0, spp, fuse=1):
         ray_o = jnp.concatenate(ros, axis=0)
         ray_d = jnp.concatenate(rds, axis=0)
         k_tr = jax.random.fold_in(sub, 7919)
-        color = trace_pt(scene, cfg, k_tr, ray_o, ray_d)
+        color = trace_pt(scene, cfg, k_tr, ray_o, ray_d,
+                         schedule=schedule)
         color = jnp.nan_to_num(color, nan=0.0)
         return acc + color.reshape(fuse, Nt, 3).sum(0)
 
@@ -77,23 +102,26 @@ def render_batch_pt(scene, cfg, key, cnt0, spp, fuse=1):
         ro, rd = camera_rays(scene, cfg, cam_key,
                              cnt0 + iters * fuse + r, pix_ids=pix)
         acc = acc + jnp.nan_to_num(
-            trace_pt(scene, cfg, k_tr, ro, rd), nan=0.0)
+            trace_pt(scene, cfg, k_tr, ro, rd, schedule=schedule),
+            nan=0.0)
     if pix is None:
         return acc
     return jnp.zeros((cfg.n_pixels, 3), jnp.float32).at[pix].set(acc)
 
 
-@partial(jax.jit, static_argnames=("cfg",))
-def render_pass_pt(scene, cfg, key, cnt):
+def render_pass_pt(scene, cfg, key, cnt, schedule=None):
     """One progressive sample for every pixel; returns (N, 3) radiance."""
-    return _render_pass_impl(scene, cfg, key, cnt)
+    if schedule is None:
+        schedule = _COMPACT
+    return _render_pass_impl(scene, cfg, key, cnt, schedule)
 
 
-def _render_pass_impl(scene, cfg, key, cnt):
+@partial(jax.jit, static_argnames=("cfg", "schedule"))
+def _render_pass_impl(scene, cfg, key, cnt, schedule=()):
     pix = crop_pix_ids(cfg)
     key, cam_key = jax.random.split(key)
     ray_o, ray_d = camera_rays(scene, cfg, cam_key, cnt, pix_ids=pix)
-    color = trace_pt(scene, cfg, key, ray_o, ray_d)
+    color = trace_pt(scene, cfg, key, ray_o, ray_d, schedule=schedule)
     if pix is None:
         return color
     return jnp.zeros((cfg.n_pixels, 3), jnp.float32).at[pix].set(color)
@@ -118,36 +146,47 @@ def _finish_it(scene, cfg, it):
     return it
 
 
-def trace_pt(scene, cfg, key, ray_o, ray_d):
-    """Trace a (N,3) ray wavefront through the full bounce pipeline."""
+def trace_pt(scene, cfg, key, ray_o, ray_d, schedule=None):
+    """Trace a (N,3) ray wavefront through the full bounce pipeline.
+
+    schedule: length-compaction splits (STATIC; None -> module default
+    ADAPT_PT_COMPACT — only safe outside jit). Per-lane RNG is counter-
+    based on (bounce, ORIGINAL lane id), so the compacted render equals
+    the uncompacted one lane-for-lane (tests/test_pt_compact.py)."""
+    if schedule is None:
+        schedule = _COMPACT
     N = ray_o.shape[0]
     world_ior = scene.world_medium.ior[0]
+    S = max(cfg.num_shadow_ray, 1)
+    D = 7 + 4 * S                   # uniforms consumed per bounce
 
     it = _finish_it(scene, cfg, ray_intersect(scene, cfg, ray_o, ray_d))
     mat = bxdf_ops.gather_mat(scene, it.obj_id)
     hit_light = _hit_light(mat, it)
 
     init = dict(
-        key=key, ray_o=ray_o, ray_d=ray_d, it=it, mat=mat,
+        ray_o=ray_o, ray_d=ray_d, it=it, mat=mat,
         hit_light=hit_light,
         color=jnp.zeros((N, 3), jnp.float32),
         contribution=jnp.ones((N, 3), jnp.float32),
         emission_weight=jnp.ones((N,), jnp.float32),
         active=jnp.ones((N,), bool),
+        pos=jnp.arange(N, dtype=jnp.int32),
     )
 
     def bounce(b, st):
-        key = st["key"]
         it = st["it"]
         active = st["active"] & it.is_hit
         contribution = st["contribution"]
+        n = active.shape[0]
+        it_key = jax.random.fold_in(key, b)
+        u_all = compact.lane_uniform(it_key, st["pos"], D)
 
         # --- russian roulette (vanilla_renderer.py:50-57) ---
-        key, rr_key = jax.random.split(key)
         max_val = jnp.max(contribution, axis=-1)
         if cfg.use_rr:
             candidate = (max_val < cfg.rr_threshold) & (b >= cfg.rr_bounce_th)
-            u_rr = jax.random.uniform(rr_key, (N,))
+            u_rr = u_all[:, 0]
             killed = candidate & (u_rr > max_val)
             boost = jnp.where(candidate, 1.0 / (max_val + 1e-7), 1.0)
             contribution = contribution * boost[..., None]
@@ -173,8 +212,7 @@ def trace_pt(scene, cfg, key, ray_o, ray_d):
         # sampled BEFORE NEE — established RNG stream order (goldens
         # depend on it); only the stream order differs from the
         # reference, the estimator is identical. ---
-        key, k_bsdf = jax.random.split(key)
-        u_bsdf = jax.random.uniform(k_bsdf, (N, 6))
+        u_bsdf = u_all[:, 1:7]
         new_dir, indirect_spec, ray_pdf, is_specular = \
             bxdf_ops.surface_sample(cfg, mat, it, ray_d, u_bsdf, world_ior,
                                     scene=scene)
@@ -187,13 +225,12 @@ def trace_pt(scene, cfg, key, ray_o, ray_d):
         # OUT of this fusion-fragile loop body)
 
         # --- next-event estimation (vanilla_renderer.py:67-97) ---
-        direct_int = jnp.zeros((N, 3), jnp.float32)
+        direct_int = jnp.zeros((n, 3), jnp.float32)
         for _s in range(cfg.num_shadow_ray):
-            key, k_pick, k_hit = jax.random.split(key, 3)
-            u_pick = jax.random.uniform(k_pick, (N,))
+            u_pick = u_all[:, 7 + 4 * _s]
             eid, emitter_pdf, valid = emitter_ops.sample_light_index(
                 cfg, u_pick, hit_light)
-            u_hit = jax.random.uniform(k_hit, (N, 3))
+            u_hit = u_all[:, 8 + 4 * _s:11 + 4 * _s]
             emit_pos, shadow_int, direct_pdf, _n = emitter_ops.sample_hit(
                 scene, cfg, eid, hit_point, u_hit)
             to_emitter = emit_pos - hit_point
@@ -215,7 +252,7 @@ def trace_pt(scene, cfg, key, ray_o, ray_d):
                 mis_w = jnp.where(emitter_ops.is_delta_pos(scene, eid), 1.0,
                                   balance_heuristic(light_pdf, bsdf_pdf))
             else:
-                mis_w = jnp.ones((N,), jnp.float32)
+                mis_w = jnp.ones((n,), jnp.float32)
             contrib = direct_spec * shadow_int * (mis_w / emitter_pdf)[..., None]
             ok = valid & ~occluded
             direct_int = direct_int + jnp.where(ok[..., None], contrib, 0.0)
@@ -270,13 +307,29 @@ def trace_pt(scene, cfg, key, ray_o, ray_d):
         else:
             emission_weight = st["emission_weight"]
 
-        return dict(key=key, ray_o=hit_point, ray_d=new_dir, it=new_it,
+        return dict(ray_o=hit_point, ray_d=new_dir, it=new_it,
                     mat=new_mat, hit_light=new_hit_light, color=color,
                     contribution=contribution,
-                    emission_weight=emission_weight, active=active)
+                    emission_weight=emission_weight, active=active,
+                    pos=st["pos"])
 
-    final = jax.lax.fori_loop(0, cfg.max_bounce, bounce, init)
-    return final["color"]
+    def reduce_fn(st):
+        # it/mat/hit_light are recomputable; sorting them would put the
+        # split's global sort past the compile cliff (see compact.py)
+        return {k: st[k] for k in ("ray_o", "ray_d", "color",
+                                   "contribution", "emission_weight",
+                                   "active", "pos")}
+
+    def restore_fn(core):
+        it = _finish_it(scene, cfg, ray_intersect(
+            scene, cfg, core["ray_o"], core["ray_d"],
+            alive=core["active"]))
+        mat = bxdf_ops.gather_mat(scene, it.obj_id)
+        return dict(core, it=it, mat=mat, hit_light=_hit_light(mat, it))
+
+    return compact.run_compacted(bounce, init, cfg.max_bounce, schedule,
+                                 unroll=1, reduce_fn=reduce_fn,
+                                 restore_fn=restore_fn)
 
 
 class Renderer(ProgressiveRenderer):

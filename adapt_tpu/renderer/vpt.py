@@ -73,11 +73,12 @@ def _log_overflow(frac):
 # renderer/compact.py): measured vpt-cbox 512^2 alive/iteration profile
 # 0.93 0.73 0.63 0.56 0.43 0.36 0.30 0.25 0.21 0.15 0.11 0.08 0.07 0.05
 # 0.04 0.03 ... -> 0 at 23 (ADAPT_ALIVE_STATS run, 2026-08-20): splits
-# below each power-of-2 alive boundary are sound. Default set from the
-# on-chip A/B (see PARITY r5 notes); each extra split adds two traced
-# tail branches, so deep schedules buy tail width at real compile cost.
+# below each power-of-2 alive boundary are sound. On-chip A/B on the
+# vpt ledger row (2026-08-20): baseline-with-lane-RNG 61.41 ms/spp,
+# "9:4" 35.47, "7:2,13:8" 35.06 (deeper splits are diminishing returns
+# against fixed floors and add ~7 min of one-time compile per width).
 _COMPACT = compact.parse_schedule(
-    os.environ.get("ADAPT_VPT_COMPACT", ""))
+    os.environ.get("ADAPT_VPT_COMPACT", "7:2,13:8"))
 # report per-iteration alive counts (schedule tuning). Works through an
 # UNJITTED render_pass_vpt call only: the axon PJRT tunnel does not
 # support debug callbacks, so counts are stashed as device scalars in
@@ -590,9 +591,25 @@ def trace_vpt(scene, cfg, key, ray_o, ray_d, schedule=None):
     # interactions shade), so only cfg.has_null_bsdf needs the budget —
     # `or media_everywhere` ran provably-inert extra iterations
     iters = cfg.max_bounce + (NULL_BUDGET if cfg.has_null_bsdf else 0)
+
+    # split payload reduction: the carried interaction is recomputable
+    # from (ray_o, ray_d) — a narrow re-intersect is far cheaper than
+    # sorting its 12 extra operands (the full-state global sort's
+    # compile walked off a cliff at 512^2; see compact.run_compacted)
+    def reduce_fn(st):
+        return {k: st[k] for k in ("ray_o", "ray_d", "color", "thp",
+                                   "emission_weight", "active", "bounce",
+                                   "pos")}
+
+    def restore_fn(core):
+        it = ray_intersect(scene, cfg, core["ray_o"], core["ray_d"],
+                           alive=core["active"])
+        return dict(core, it=it)
+
     return compact.run_compacted(
         iteration, init, iters, schedule, _UNROLL,
-        alive_log=_ALIVE_LOG if _ALIVE_STATS else None)
+        alive_log=_ALIVE_LOG if _ALIVE_STATS else None,
+        reduce_fn=reduce_fn, restore_fn=restore_fn)
 
 
 class VolumeRenderer(ProgressiveRenderer):
