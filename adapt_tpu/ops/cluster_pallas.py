@@ -98,6 +98,22 @@ bounce-closest baseline 515 ms):
    already the exactness lower bound; further cuts must come from ray
    regrouping or per-lane designs, not sweep logic.
 
+FLOP FLOOR (r5, scripts/flop_floor.py on chip 2026-08-20, after the
+tri-only specialization): measured VPU f32 roofline 894 GFLOP/s at the
+(128,256) brute shape (1008 at (128,512)); tri-only brute test = 52
+flops/pair -> pure-FMA floor 1.9 us/visit (2.97 us with the old
+always-on sphere path). A real single-visit `_single_pass` measures
+14.5 us/visit (knot, CM=256) / 21.9 (ite-orb): the brute contraction is
+only ~13% of an isolated visit — DMA latency, grid-step scaffolding and
+winner extraction dominate, which is the same fixed-cost wall that
+killed all four per-ray-granularity designs. In the real shortlist
+sweep (~13.5 listed visits/tile) the brute flops account for ~52 ms of
+the measured 151 ms knot bounce-closest pass (~1/3): the schedule runs
+~2.9x above its own flop floor, so work-per-visit cuts saturate at
+~1.5x even if the brute test were free. MXU dot_general routing of the
+six dual-basis contractions (ADAPT_MXU_DOT, HIGHEST precision): see the
+A/B result recorded next to the knob above.
+
 Reference behavior: tracer/path_tracer.py:338-422 (BVH dispatch contract).
 """
 from __future__ import annotations
@@ -213,6 +229,12 @@ MAJ_K = int(os.environ.get("ADAPT_MAJ_K", "4"))
 # layout, narrower tiles), not the visit schedule.
 QPICK = os.environ.get("ADAPT_QPICK", "0") != "0"
 QP_P = int(os.environ.get("ADAPT_QP_P", "2"))
+# MXU experiment (VERDICT r4 #1b): route the brute test's six ray x prim
+# dual-basis contractions through TWO lax.dot_general calls
+# ((B,3) x (3, 3*TC), precision HIGHEST so the exactness contract holds
+# — f32-accurate bf16 passes) instead of VPU mul+add chains. A/B via
+# scripts/bench_cluster.py + bench_all rows; result recorded below.
+MXU_DOT = os.environ.get("ADAPT_MXU_DOT", "0") != "0"
 # max elements of one (gb, G*B, C) slab intermediate in _tile_shortlists
 _SL_MAX_ELEMS = 1 << 23
 
@@ -220,25 +242,49 @@ _INTERPRET = False     # flipped by tests on backends without Mosaic
 _ABLATE = set()        # timing experiments only (scripts/ablate_cluster.py)
 
 
-def _prim_chunk_test(r, ro, rd):
-    """(24,TC) packed prim fields x (B,3) rays -> (t,u,v) of (B,TC)."""
+def _prim_chunk_test(r, ro, rd, tri_only=False):
+    """(24,TC) packed prim fields x (B,3) rays -> (t,u,v) of (B,TC).
+
+    tri_only (static, from scene.sph_gid.shape[0]==0): big scenes are
+    pure triangle meshes, yet every pair paid BOTH the ~50-flop triangle
+    test AND the ~26-flop sphere quadratic (merged by is_sph selects).
+    Skipping the statically-dead sphere path cuts ~1/3 of the per-visit
+    brute flops — the r5 work-per-visit lever (VERDICT r4 #1)."""
     def dot3(c0, vec):
         return (vec[:, 0:1] * r[c0:c0 + 1, :]
                 + vec[:, 1:2] * r[c0 + 1:c0 + 2, :]) \
             + vec[:, 2:3] * r[c0 + 2:c0 + 3, :]
 
-    is_sph = r[12:13, :] > 0.5
     pad = r[13:14, :] < 0.0
     b = r[3:4, :]
     # triangle: plane + dual basis (same op order as intersect_pallas)
-    o_n = dot3(0, ro)
-    d_n = dot3(0, rd)
-    safe_dn = jnp.where(jnp.abs(d_n) < 1e-12, 1e-12, d_n)
-    t_tri = (b - o_n) / safe_dn
-    u = dot3(4, ro) + t_tri * dot3(4, rd) - r[7:8, :]
-    v = dot3(8, ro) + t_tri * dot3(8, rd) - r[11:12, :]
+    if MXU_DOT:
+        TCr = r.shape[1]
+        w = jnp.concatenate([r[0:3, :], r[4:7, :], r[8:11, :]], axis=1)
+        dn = (((1,), (0,)), ((), ()))
+        po = jax.lax.dot_general(ro, w, dn,
+                                 precision=jax.lax.Precision.HIGHEST)
+        pd = jax.lax.dot_general(rd, w, dn,
+                                 precision=jax.lax.Precision.HIGHEST)
+        o_n, o_u, o_v = po[:, :TCr], po[:, TCr:2 * TCr], po[:, 2 * TCr:]
+        d_n, d_u, d_v = pd[:, :TCr], pd[:, TCr:2 * TCr], pd[:, 2 * TCr:]
+        safe_dn = jnp.where(jnp.abs(d_n) < 1e-12, 1e-12, d_n)
+        t_tri = (b - o_n) / safe_dn
+        u = o_u + t_tri * d_u - r[7:8, :]
+        v = o_v + t_tri * d_v - r[11:12, :]
+    else:
+        o_n = dot3(0, ro)
+        d_n = dot3(0, rd)
+        safe_dn = jnp.where(jnp.abs(d_n) < 1e-12, 1e-12, d_n)
+        t_tri = (b - o_n) / safe_dn
+        u = dot3(4, ro) + t_tri * dot3(4, rd) - r[7:8, :]
+        v = dot3(8, ro) + t_tri * dot3(8, rd) - r[11:12, :]
     tri_ok = (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0) & (t_tri > RAY_EPS) \
         & (jnp.abs(d_n) >= 1e-12)
+    if tri_only:
+        t = jnp.where(tri_ok & jnp.logical_not(pad), t_tri, FAR)
+        return t, u, v
+    is_sph = r[12:13, :] > 0.5
     # sphere: quadratic on (center=r[0:3], radius=b)
     cx = r[0:1, :] - ro[:, 0:1]
     cy = r[1:2, :] - ro[:, 1:2]
@@ -256,6 +302,14 @@ def _prim_chunk_test(r, ro, rd):
                   jnp.where(tri_ok, t_tri, FAR))
     t = jnp.where(pad, FAR, t)
     return t, u, v
+
+
+def _tri_only(scene):
+    """Static no-sphere flag (trace-safe: reads only an array SHAPE).
+
+    Big scenes are pure triangle meshes; specializing the brute test
+    drops the statically-dead sphere quadratic from every visit."""
+    return int(scene.sph_gid.shape[0]) == 0
 
 
 def _slab_lanes(table_row, ro, inv_d, t_best):
@@ -294,7 +348,8 @@ def _chunk_hits(cab_ref, idx, K, ro, inv_d, t_best):
 
 
 def _visit_cluster_closest(idx, cab_ref, rows_hbm, buf, sem, ro, rd, inv_d,
-                           t_o, g_o, u_o, v_o, ng_o, ob_o, sph_o):
+                           t_o, g_o, u_o, v_o, ng_o, ob_o, sph_o,
+                           tri_only=False):
     """Chunk-gate cluster idx, DMA its prim block on a hit, brute-test."""
     K = buf.shape[1] // TC
     chm = _chunk_hits(cab_ref, idx, K, ro, inv_d, t_o[:])    # (B, K)
@@ -310,7 +365,7 @@ def _visit_cluster_closest(idx, cab_ref, rows_hbm, buf, sem, ro, rd, inv_d,
             @pl.when(jnp.any(ch_hit))
             def _(kc=kc, ch_hit=ch_hit):
                 r = buf[:, kc * TC:(kc + 1) * TC]       # (24, TC)
-                t, u, v = _prim_chunk_test(r, ro, rd)   # (B, TC)
+                t, u, v = _prim_chunk_test(r, ro, rd, tri_only)
                 bt = jnp.min(t, axis=1, keepdims=True)  # (B, 1)
                 col = jax.lax.broadcasted_iota(jnp.int32, t.shape, 1)
                 bi = jnp.min(jnp.where(t == bt, col, TC), axis=1,
@@ -324,11 +379,11 @@ def _visit_cluster_closest(idx, cab_ref, rows_hbm, buf, sem, ro, rd, inv_d,
                     # extraction; skip it when no lane improved
                     _select_winner(r, ro, rd, bt, better, one_hot,
                                    t_o, g_o, u_o, v_o, ng_o, ob_o,
-                                   sph_o, u, v)
+                                   sph_o, u, v, tri_only)
 
 
 def _visit_cluster_deferred(idx, cab_ref, rows_hbm, buf, sem, ro, rd,
-                            inv_d, t_o, wid_o):
+                            inv_d, t_o, wid_o, tri_only=False):
     """GATELESS closest-hit visit: DMA the cluster block and brute-test
     all its prims fused, recording only (t, winner id) per lane;
     attribute extraction is deferred to `_resolve_winner` outside the
@@ -354,7 +409,7 @@ def _visit_cluster_deferred(idx, cab_ref, rows_hbm, buf, sem, ro, rd,
     BR = min(CM, 512)
     for kc in range(CM // BR):            # static unroll
         r = buf[:, kc * BR:(kc + 1) * BR]            # (24, BR)
-        t, _u, _v = _prim_chunk_test(r, ro, rd)      # (B, BR)
+        t, _u, _v = _prim_chunk_test(r, ro, rd, tri_only)   # (B, BR)
         bt = jnp.min(t, axis=1, keepdims=True)       # (B, 1)
         col = jax.lax.broadcasted_iota(jnp.int32, t.shape, 1)
         bi = jnp.min(jnp.where(t == bt, col, BR), axis=1, keepdims=True)
@@ -364,7 +419,7 @@ def _visit_cluster_deferred(idx, cab_ref, rows_hbm, buf, sem, ro, rd,
 
 
 def _visit_cluster_deferred_gated(idx, cab_ref, rows_hbm, buf, sem, ro,
-                                  rd, inv_d, t_o, wid_o):
+                                  rd, inv_d, t_o, wid_o, tri_only=False):
     """Chunk-gated variant of `_visit_cluster_deferred` for OVERFLOW
     tile-groups (shortlist longer than S entries), which sweep all C
     clusters in index order. There the gate maths flips: a listed sweep
@@ -389,7 +444,7 @@ def _visit_cluster_deferred_gated(idx, cab_ref, rows_hbm, buf, sem, ro,
             @pl.when(jnp.any(ch_hit))
             def _(kc=kc, ch_hit=ch_hit):
                 r = buf[:, kc * TC:(kc + 1) * TC]       # (24, TC)
-                t, _u, _v = _prim_chunk_test(r, ro, rd)
+                t, _u, _v = _prim_chunk_test(r, ro, rd, tri_only)
                 bt = jnp.min(t, axis=1, keepdims=True)
                 col = jax.lax.broadcasted_iota(jnp.int32, t.shape, 1)
                 bi = jnp.min(jnp.where(t == bt, col, TC), axis=1,
@@ -401,7 +456,7 @@ def _visit_cluster_deferred_gated(idx, cab_ref, rows_hbm, buf, sem, ro,
 
 
 def _visit_cluster_any_gateless(idx, rows_hbm, buf, sem, ro, rd, far_ref,
-                                occ_o):
+                                occ_o, tri_only=False):
     """Gateless any-hit visit for the shortlist sweep (same measured
     rationale as `_visit_cluster_deferred`: chunk slab gates + branches
     cost more than unconditional brute at CM=256). Occluded lanes simply
@@ -414,13 +469,13 @@ def _visit_cluster_any_gateless(idx, rows_hbm, buf, sem, ro, rd, far_ref,
     BR = min(CM, 512)
     for kc in range(CM // BR):
         r = buf[:, kc * BR:(kc + 1) * BR]
-        t, _u, _v = _prim_chunk_test(r, ro, rd)
+        t, _u, _v = _prim_chunk_test(r, ro, rd, tri_only)
         occ_o[:] = occ_o[:] | jnp.any(t < far_ref[:], axis=1,
                                       keepdims=True)
 
 
 def _visit_cluster_any(idx, cab_ref, rows_hbm, buf, sem, ro, rd, inv_d,
-                       far_ref, occ_o):
+                       far_ref, occ_o, tri_only=False):
     K = buf.shape[1] // TC
     # occluded lanes prune boxes (-inf beats inside-the-box t_near<0)
     far = jnp.where(occ_o[:], -jnp.inf, far_ref[:])
@@ -437,15 +492,15 @@ def _visit_cluster_any(idx, cab_ref, rows_hbm, buf, sem, ro, rd, inv_d,
             @pl.when(jnp.any(ch_hit))
             def _(kc=kc, ch_hit=ch_hit):
                 r = buf[:, kc * TC:(kc + 1) * TC]
-                t, _u, _v = _prim_chunk_test(r, ro, rd)
+                t, _u, _v = _prim_chunk_test(r, ro, rd, tri_only)
                 hit = jnp.any((t < far_ref[:]) & ch_hit, axis=1,
                               keepdims=True)
                 occ_o[:] = occ_o[:] | hit
 
 
-def _closest_kernel(order_ref, ro_ref, rd_ref, far_ref, abt_ref, cab_ref,
-                    rows_hbm, t_o, g_o, u_o, v_o, ng_o, ob_o, sph_o, buf,
-                    m_ref, sem):
+def _closest_kernel(tri_only, order_ref, ro_ref, rd_ref, far_ref, abt_ref,
+                    cab_ref, rows_hbm, t_o, g_o, u_o, v_o, ng_o, ob_o,
+                    sph_o, buf, m_ref, sem):
     i = pl.program_id(0)
     C = order_ref.shape[1]
 
@@ -482,7 +537,7 @@ def _closest_kernel(order_ref, ro_ref, rd_ref, far_ref, abt_ref, cab_ref,
         def _():
             _visit_cluster_closest(idx, cab_ref, rows_hbm, buf, sem, ro,
                                    rd, inv_d, t_o, g_o, u_o, v_o, ng_o,
-                                   ob_o, sph_o)
+                                   ob_o, sph_o, tri_only)
         return j + 1, done
 
     jax.lax.while_loop(lambda c: (c[0] < C) & jnp.logical_not(c[1]),
@@ -490,7 +545,7 @@ def _closest_kernel(order_ref, ro_ref, rd_ref, far_ref, abt_ref, cab_ref,
 
 
 def _select_winner(r, ro, rd, bt, better, one_hot, t_o, g_o, u_o, v_o,
-                   ng_o, ob_o, sph_o, u, v):
+                   ng_o, ob_o, sph_o, u, v, tri_only=False):
     def sel(row):                             # (1,TC) field row -> (B,1)
         return jnp.sum(jnp.where(one_hot, row, 0.0), axis=1,
                        keepdims=True)
@@ -499,33 +554,39 @@ def _select_winner(r, ro, rd, bt, better, one_hot, t_o, g_o, u_o, v_o,
         return jnp.sum(jnp.where(one_hot, vals, 0.0), axis=1,
                        keepdims=True)
 
-    # sphere lanes get their final normal here; spherical uv needs
-    # atan2/arccos (no Pallas TPU lowering), so the wrapper derives it
-    # from n_g on sphere-flagged lanes
-    is_sph = sel(r[12:13, :]) > 0.5
-    hx = ro[:, 0:1] + bt * rd[:, 0:1] - sel(r[0:1, :])
-    hy = ro[:, 1:2] + bt * rd[:, 1:2] - sel(r[1:2, :])
-    hz = ro[:, 2:3] + bt * rd[:, 2:3] - sel(r[2:3, :])
-    inv_n = jax.lax.rsqrt(jnp.maximum(hx * hx + hy * hy + hz * hz, 1e-24))
-    nx, ny, nz = hx * inv_n, hy * inv_n, hz * inv_n
+    if tri_only:
+        is_sph = jnp.zeros_like(bt) > 0.0
+        ngx, ngy, ngz = (sel(r[14:15, :]), sel(r[15:16, :]),
+                         sel(r[16:17, :]))
+    else:
+        # sphere lanes get their final normal here; spherical uv needs
+        # atan2/arccos (no Pallas TPU lowering), so the wrapper derives
+        # it from n_g on sphere-flagged lanes
+        is_sph = sel(r[12:13, :]) > 0.5
+        hx = ro[:, 0:1] + bt * rd[:, 0:1] - sel(r[0:1, :])
+        hy = ro[:, 1:2] + bt * rd[:, 1:2] - sel(r[1:2, :])
+        hz = ro[:, 2:3] + bt * rd[:, 2:3] - sel(r[2:3, :])
+        inv_n = jax.lax.rsqrt(
+            jnp.maximum(hx * hx + hy * hy + hz * hz, 1e-24))
+        nx, ny, nz = hx * inv_n, hy * inv_n, hz * inv_n
+        ngx = jnp.where(is_sph, nx, sel(r[14:15, :]))
+        ngy = jnp.where(is_sph, ny, sel(r[15:16, :]))
+        ngz = jnp.where(is_sph, nz, sel(r[16:17, :]))
 
     t_o[:] = jnp.where(better, bt, t_o[:])
     g_o[:] = jnp.where(better, sel(r[13:14, :]).astype(jnp.int32), g_o[:])
     u_o[:] = jnp.where(better, selv(u), u_o[:])
     v_o[:] = jnp.where(better, selv(v), v_o[:])
-    ng_o[:, 0:1] = jnp.where(
-        better, jnp.where(is_sph, nx, sel(r[14:15, :])), ng_o[:, 0:1])
-    ng_o[:, 1:2] = jnp.where(
-        better, jnp.where(is_sph, ny, sel(r[15:16, :])), ng_o[:, 1:2])
-    ng_o[:, 2:3] = jnp.where(
-        better, jnp.where(is_sph, nz, sel(r[16:17, :])), ng_o[:, 2:3])
+    ng_o[:, 0:1] = jnp.where(better, ngx, ng_o[:, 0:1])
+    ng_o[:, 1:2] = jnp.where(better, ngy, ng_o[:, 1:2])
+    ng_o[:, 2:3] = jnp.where(better, ngz, ng_o[:, 2:3])
     ob_o[:] = jnp.where(better, sel(r[17:18, :]).astype(jnp.int32),
                         ob_o[:])
     sph_o[:] = jnp.where(better, is_sph.astype(jnp.int32), sph_o[:])
 
 
-def _any_kernel(order_ref, ro_ref, rd_ref, far_ref, abt_ref, cab_ref,
-                rows_hbm, occ_o, buf, m_ref, sem):
+def _any_kernel(tri_only, order_ref, ro_ref, rd_ref, far_ref, abt_ref,
+                cab_ref, rows_hbm, occ_o, buf, m_ref, sem):
     i = pl.program_id(0)
     C = order_ref.shape[1]
 
@@ -554,7 +615,7 @@ def _any_kernel(order_ref, ro_ref, rd_ref, far_ref, abt_ref, cab_ref,
         @pl.when(_mask_at(m_ref, idx) > 0.0)
         def _():
             _visit_cluster_any(idx, cab_ref, rows_hbm, buf, sem, ro, rd,
-                               inv_d, far_ref, occ_o)
+                               inv_d, far_ref, occ_o, tri_only)
         return j + 1, done
 
     jax.lax.while_loop(lambda c: (c[0] < C) & jnp.logical_not(c[1]),
@@ -571,9 +632,9 @@ def _sl_entry(sl_ref, g, j, over):
     return jnp.where(over, j, half)
 
 
-def _closest_sl_kernel(G, cap, cnt_ref, sl_ref, eblk_ref, ro_ref, rd_ref,
-                       far_ref, wid0_ref, cab_ref, rows_hbm, t_o, wid_o,
-                       buf, sem):
+def _closest_sl_kernel(tri_only, G, cap, cnt_ref, sl_ref, eblk_ref,
+                       ro_ref, rd_ref, far_ref, wid0_ref, cab_ref,
+                       rows_hbm, t_o, wid_o, buf, sem):
     """cap > 0 bounds the sweep to the first cap candidates (phase 1 of
     the two-phase closest hit: any hit found is a valid far bound, so a
     truncated front-to-back sweep is sound there). wid0 carries phase-1
@@ -603,16 +664,18 @@ def _closest_sl_kernel(G, cap, cnt_ref, sl_ref, eblk_ref, ro_ref, rd_ref,
         def _():
             if GATELESS:
                 _visit_cluster_deferred(idx, cab_ref, rows_hbm, buf, sem,
-                                        ro, rd, inv_d, t_o, wid_o)
+                                        ro, rd, inv_d, t_o, wid_o,
+                                        tri_only)
             else:
                 _visit_cluster_deferred_gated(idx, cab_ref, rows_hbm,
                                               buf, sem, ro, rd, inv_d,
-                                              t_o, wid_o)
+                                              t_o, wid_o, tri_only)
 
         @pl.when(over)
         def _():
             _visit_cluster_deferred_gated(idx, cab_ref, rows_hbm, buf,
-                                          sem, ro, rd, inv_d, t_o, wid_o)
+                                          sem, ro, rd, inv_d, t_o, wid_o,
+                                          tri_only)
 
         # front-to-back early exit at block boundaries: remaining listed
         # clusters all have entry >= eblk[nj/EB_E] (the list is sorted by
@@ -653,7 +716,6 @@ def _resolve_winner(scene, wid, t, ro, rd):
 
     gid = jnp.where(miss, -1, fld(13).astype(jnp.int32))
     obj = jnp.where(miss, -1, fld(17).astype(jnp.int32))
-    is_sph = fld(12) > 0.5
     # triangle uv: u = ro·U + t·(rd·U) - cu, same op order as dot3
     ux, uy, uz, cu = fld(4), fld(5), fld(6), fld(7)
     vx, vy, vz, cv = fld(8), fld(9), fld(10), fld(11)
@@ -661,20 +723,26 @@ def _resolve_winner(scene, wid, t, ro, rd):
         + t * ((rd[:, 0] * ux + rd[:, 1] * uy) + rd[:, 2] * uz) - cu
     v_tri = ((ro[:, 0] * vx + ro[:, 1] * vy) + ro[:, 2] * vz) \
         + t * ((rd[:, 0] * vx + rd[:, 1] * vy) + rd[:, 2] * vz) - cv
-    # sphere: normal from the hit point, uv from the normal
-    # (reference tracer_base.py:226-231 formulas)
-    hx = ro[:, 0] + t * rd[:, 0] - fld(0)
-    hy = ro[:, 1] + t * rd[:, 1] - fld(1)
-    hz = ro[:, 2] + t * rd[:, 2] - fld(2)
-    inv_n = jax.lax.rsqrt(jnp.maximum(hx * hx + hy * hy + hz * hz, 1e-24))
-    nx, ny, nz = hx * inv_n, hy * inv_n, hz * inv_n
-    ngx = jnp.where(is_sph, nx, fld(14))
-    ngy = jnp.where(is_sph, ny, fld(15))
-    ngz = jnp.where(is_sph, nz, fld(16))
-    sph_u = (jnp.arctan2(ngy, ngx) + jnp.pi) / (2.0 * jnp.pi)
-    sph_v = jnp.arccos(jnp.clip(ngz, -1.0, 1.0)) / jnp.pi
-    u = jnp.where(is_sph, sph_u, u_tri)
-    v = jnp.where(is_sph, sph_v, v_tri)
+    if _tri_only(scene):
+        ngx, ngy, ngz = fld(14), fld(15), fld(16)
+        u, v = u_tri, v_tri
+    else:
+        is_sph = fld(12) > 0.5
+        # sphere: normal from the hit point, uv from the normal
+        # (reference tracer_base.py:226-231 formulas)
+        hx = ro[:, 0] + t * rd[:, 0] - fld(0)
+        hy = ro[:, 1] + t * rd[:, 1] - fld(1)
+        hz = ro[:, 2] + t * rd[:, 2] - fld(2)
+        inv_n = jax.lax.rsqrt(
+            jnp.maximum(hx * hx + hy * hy + hz * hz, 1e-24))
+        nx, ny, nz = hx * inv_n, hy * inv_n, hz * inv_n
+        ngx = jnp.where(is_sph, nx, fld(14))
+        ngy = jnp.where(is_sph, ny, fld(15))
+        ngz = jnp.where(is_sph, nz, fld(16))
+        sph_u = (jnp.arctan2(ngy, ngx) + jnp.pi) / (2.0 * jnp.pi)
+        sph_v = jnp.arccos(jnp.clip(ngz, -1.0, 1.0)) / jnp.pi
+        u = jnp.where(is_sph, sph_u, u_tri)
+        v = jnp.where(is_sph, sph_v, v_tri)
     u = jnp.where(miss, 0.0, u)
     v = jnp.where(miss, 0.0, v)
     n_g = jnp.stack([jnp.where(miss, 1.0, ngx),
@@ -683,8 +751,8 @@ def _resolve_winner(scene, wid, t, ro, rd):
     return gid, u, v, n_g, obj
 
 
-def _any_sl_kernel(G, cnt_ref, sl_ref, eblk_ref, ro_ref, rd_ref, far_ref,
-                   cab_ref, rows_hbm, occ_o, buf, sem):
+def _any_sl_kernel(tri_only, G, cnt_ref, sl_ref, eblk_ref, ro_ref, rd_ref,
+                   far_ref, cab_ref, rows_hbm, occ_o, buf, sem):
     i = pl.program_id(0)
     g = i // G
     C = cab_ref.shape[0] // 8
@@ -706,17 +774,17 @@ def _any_sl_kernel(G, cnt_ref, sl_ref, eblk_ref, ro_ref, rd_ref, far_ref,
         def _():
             if GATELESS:
                 _visit_cluster_any_gateless(idx, rows_hbm, buf, sem, ro,
-                                            rd, far_ref, occ_o)
+                                            rd, far_ref, occ_o, tri_only)
             else:
                 _visit_cluster_any(idx, cab_ref, rows_hbm, buf, sem, ro,
-                                   rd, inv_d, far_ref, occ_o)
+                                   rd, inv_d, far_ref, occ_o, tri_only)
 
         @pl.when(over)
         def _():
             # overflow sweeps all C clusters: chunk-gate each visit
             # (same rationale as _visit_cluster_deferred_gated)
             _visit_cluster_any(idx, cab_ref, rows_hbm, buf, sem, ro, rd,
-                               inv_d, far_ref, occ_o)
+                               inv_d, far_ref, occ_o, tri_only)
 
         # early exit at block boundaries (cross-lane reductions are
         # branch-priced, so only at EB_E cadence): a lane is settled
@@ -949,7 +1017,7 @@ def _closest_sl_pass(scene, ro, rd, far, Np, wid0, cap, lists=None):
         else _tile_shortlists(scene.cl_aabb, ro, rd, far)
     grid, in_specs, out1, out3 = _specs(Np, shortlist=True, wid0=True)
     return pl.pallas_call(
-        functools.partial(_closest_sl_kernel, G, cap),
+        functools.partial(_closest_sl_kernel, _tri_only(scene), G, cap),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,
             grid=grid,
@@ -1302,8 +1370,8 @@ def queue_closest_raw(scene, ray_o, ray_d, far0, packed_ids, more, K):
     return t[:N, 0], wid[:N, 0]
 
 
-def _single_kernel(pick_ref, ro_ref, rd_ref, far_ref, wid0_ref, rows_hbm,
-                   t_o, wid_o, buf, sem):
+def _single_kernel(tri_only, pick_ref, ro_ref, rd_ref, far_ref, wid0_ref,
+                   rows_hbm, t_o, wid_o, buf, sem):
     """Majority-round visit: tile i brute-tests exactly ONE cluster
     (pick_ref[0, i]; -1 = skip). No list iteration, no gates — the
     whole sweep scaffolding the union kernels pay per listed entry is
@@ -1317,7 +1385,8 @@ def _single_kernel(pick_ref, ro_ref, rd_ref, far_ref, wid0_ref, rows_hbm,
     @pl.when(pick >= 0)
     def _():
         _visit_cluster_deferred(pick, None, rows_hbm, buf, sem,
-                                ro_ref[:], rd_ref[:], None, t_o, wid_o)
+                                ro_ref[:], rd_ref[:], None, t_o, wid_o,
+                                tri_only)
 
 
 def _single_pass(scene, ro, rd, far, Np, wid0, picks):
@@ -1333,7 +1402,7 @@ def _single_pass(scene, ro, rd, far, Np, wid0, picks):
                        memory_space=pltpu.VMEM)
     rows = pl.BlockSpec(memory_space=pl.ANY)
     return pl.pallas_call(
-        _single_kernel,
+        functools.partial(_single_kernel, _tri_only(scene)),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=grid,
@@ -1607,8 +1676,8 @@ def qpick_closest(scene, ray_o, ray_d, far0, P=None):
     return t, wid
 
 
-def _single_any_kernel(pick_ref, ro_ref, rd_ref, far_ref, rows_hbm,
-                       occ_o, buf, sem):
+def _single_any_kernel(tri_only, pick_ref, ro_ref, rd_ref, far_ref,
+                       rows_hbm, occ_o, buf, sem):
     """Any-hit pick visit: tile i brute-tests exactly ONE cluster."""
     i = pl.program_id(0)
     occ_o[:] = jnp.zeros_like(occ_o[:])
@@ -1617,7 +1686,7 @@ def _single_any_kernel(pick_ref, ro_ref, rd_ref, far_ref, rows_hbm,
     @pl.when(pick >= 0)
     def _():
         _visit_cluster_any_gateless(pick, rows_hbm, buf, sem, ro_ref[:],
-                                    rd_ref[:], far_ref, occ_o)
+                                    rd_ref[:], far_ref, occ_o, tri_only)
 
 
 def _any_sl_pass(scene, ro, rd, far, Np):
@@ -1628,7 +1697,7 @@ def _any_sl_pass(scene, ro, rd, far, Np):
                                                far)
     grid, in_specs, out1, _out3 = _specs(Np, shortlist=True)
     return pl.pallas_call(
-        functools.partial(_any_sl_kernel, G),
+        functools.partial(_any_sl_kernel, _tri_only(scene), G),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,
             grid=grid,
@@ -1680,7 +1749,7 @@ def qpick_any(scene, ray_o, ray_d, far0, P=None):
     occ = jnp.zeros((Np, 1), jnp.bool_)
     for p in range(P):
         occ_p = pl.pallas_call(
-            _single_any_kernel,
+            functools.partial(_single_any_kernel, _tri_only(scene)),
             grid_spec=pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=1,
                 grid=grid,
@@ -1727,7 +1796,7 @@ def cluster_closest_hit(scene, ray_o, ray_d, far0):
     order = _tile_cluster_order(scene.cl_aabb, ro, rd)
     grid, in_specs, out1, out3 = _specs(Np)
     t, gid, u, v, ng, obj, sph = pl.pallas_call(
-        _closest_kernel,
+        functools.partial(_closest_kernel, _tri_only(scene)),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=grid,
@@ -1765,7 +1834,7 @@ def cluster_any_hit(scene, ray_o, ray_d, far0):
     order = _tile_cluster_order(scene.cl_aabb, ro, rd)
     grid, in_specs, out1, _out3 = _specs(Np)
     occ = pl.pallas_call(
-        _any_kernel,
+        functools.partial(_any_kernel, _tri_only(scene)),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=grid,
