@@ -40,6 +40,26 @@ MAX_STEPS = 1024
 # mostly fixed dispatch+fetch cost of the tiny benchmark program).
 import os as _os
 VOL_J = int(_os.environ.get("ADAPT_VOL_J", "1"))
+# HOP-CHAIN depth (r5, supersedes the J-batch in the march bodies): each
+# while-iteration advances up to VOL_HOPS supervoxel DDA steps in
+# registers, FREEZING at the lane's next collision candidate, then does
+# ONE shared density gather for the frozen candidates. Distinct from
+# VOL_J in exactly the dimension that made J-batching lose: the gather
+# count per ray drops from (hops + candidates) to ~(candidates +
+# hops/VOL_HOPS) — it removes gather PASSES, not just loop iterations.
+# Hop sub-steps cost only the one-hot sv-majorant lookup (no HBM random
+# access). VOL_HOPS=1 reproduces the old per-step-gather cost shape.
+VOL_HOPS = int(_os.environ.get("ADAPT_VOL_HOPS", "4"))
+# Reverse-mode differentiable tracking (r5, VERDICT r4 #7): lax.while_loop
+# has no reverse-mode AD rule, so when DIFF_STEPS > 0 the ratio-tracking
+# march runs a FIXED DIFF_STEPS-iteration fori_loop instead (the body is
+# already done-masked, so extra iterations are no-ops). With the majorant
+# field held constant (lax.stop_gradient at the call site), the candidate
+# point process is independent of the density parameters and
+# d/d(grid) E[tr] = E[d/d(grid) tr] — the pathwise gradient of the ratio
+# factors (1 - d/maj) is unbiased. Used by density-grid recovery
+# (tests/test_grad_volume.py, scripts/recover_volume.py).
+DIFF_STEPS = 0
 # march-while body repetition (distinct from VOL_J: keeps one gather per
 # sub-step, halving iteration count without growing any single op — the
 # VPT bounce loop's 2x unroll bought 0.4 ms per removed iteration where
@@ -106,8 +126,12 @@ def dummy_volume() -> GridVolumeData:
         sv_maj=jnp.zeros((3, 1, 1, 1), jnp.float32), sv_size=1)
 
 
-SV_AXIS_CAP = 8     # supervoxel grid axes <= 8 keeps the factorized
-#                     one-hot lookup's row dim (3*SZ*SY) <= 192
+# Supervoxel grid axis cap: higher = finer supervoxels = tighter local
+# majorants = fewer collision candidates (the 78%-of-device-time density
+# gathers), at the cost of a bigger factorized one-hot lookup (row dim
+# 3*SZ*SY: 192 at cap 8, 768 at cap 16) and more DDA hops. Swept on chip
+# (r5, VERDICT r4 #3) via scripts/sweep_sv.py; env knob for A/B.
+SV_AXIS_CAP = int(_os.environ.get("ADAPT_SV_CAP", "16"))
 
 
 def _supervoxel_majorants(dens):
@@ -351,7 +375,10 @@ def _compact_rounds(crossing, inputs, outputs, round_fn):
     `live` marks slice lanes that need the march.
     """
     N = crossing.shape[0]
-    if N <= _COMPACT_MIN:
+    if N <= _COMPACT_MIN or DIFF_STEPS > 0:
+        # differentiable mode skips compaction: its dynamic-round
+        # while_loop has no reverse-mode rule (the march itself runs a
+        # fixed-trip fori_loop there)
         return round_fn(jnp.int32(0), inputs, outputs, crossing)
 
     from .intersect import _sort_by
@@ -447,39 +474,49 @@ def sample_distance_delta_tracking(vol, kind, key, ray_o, ray_d, thp,
             return (~jnp.all(st["done"])) & (st["step"] < MAX_STEPS)
 
         def body(st):
-            # advance J candidate/hop steps in registers (the candidate
-            # positions do not depend on the acceptance draws), then ONE
-            # shared gather, then resolve acceptances in order
+            # HOP-CHAIN (r5): advance up to VOL_HOPS supervoxel steps in
+            # registers — each sub-step either freezes at this lane's
+            # next collision CANDIDATE or hops an (empty/cheap) cell —
+            # then ONE density gather resolves the frozen candidates.
+            # The per-lane HBM gather (78% of rgbvol device time) now
+            # costs one n-wide pass per OUTER iteration, and outer
+            # iterations ~ candidates + hops/VOL_HOPS instead of
+            # candidates + hops. Hop sub-steps touch only the one-hot
+            # sv-majorant lookup (MXU contraction, no random access).
             k = jax.random.fold_in(key, r * (MAX_STEPS + 1) + st["step"])
-            u = jax.random.uniform(k, (n, VOL_J, 5))
+            u = jax.random.uniform(k, (n, VOL_HOPS + 4))
             t, exited = st["t"], st["done"]
-            cands = []
-            for j in range(VOL_J):
+            found = jnp.zeros((n,), bool)
+            cand_t = t
+            cand_m = jnp.zeros((n,), jnp.float32)
+            for j in range(VOL_HOPS):
                 m_loc, t_cand, t_hop = _sv_step(
-                    vol, ins["lo"], ins["ld"], ins["ch"], t, u[:, j, 4],
+                    vol, ins["lo"], ins["ld"], ins["ch"], t, u[:, j],
                     ins["far"])
-                is_cand = (~exited) & (t_cand <= jnp.minimum(t_hop,
-                                                             ins["far"]))
-                pos = ins["lo"] + t_cand[:, None] * ins["ld"]
-                ci, okb = _density_index(vol, pos, u[:, j, :3])
-                cands.append((is_cand, okb, ci, m_loc, t_cand, u[:, j, 3]))
-                t = jnp.where(is_cand, t_cand, t_hop)
-                exited = exited | (t >= ins["far"])
-            vals = _gather_candidates(vol, ins["ch"],
-                                      [c[2] for c in cands],
-                                      [c[1] for c in cands])
+                is_cand = (~exited) & (~found) \
+                    & (t_cand <= jnp.minimum(t_hop, ins["far"]))
+                cand_t = jnp.where(is_cand, t_cand, cand_t)
+                cand_m = jnp.where(is_cand, m_loc, cand_m)
+                found = found | is_cand
+                move = ~(found | exited)
+                t = jnp.where(move, t_hop, t)
+                exited = exited | (move & (t >= ins["far"]))
+            # fresh jitter + acceptance draws (independent of which
+            # sub-step froze the candidate)
+            pos = ins["lo"] + cand_t[:, None] * ins["ld"]
+            ci, okb = _density_index(vol, pos, u[:, VOL_HOPS:VOL_HOPS + 3])
+            (val,) = _gather_candidates(vol, ins["ch"], [ci],
+                                        [okb & found])
             hit_t, tr = st["hit_t"], st["tr"]
-            collided = jnp.zeros((n,), bool)
-            for j, (is_cand, _okb, _ci, m_loc, t_cand, u3) in \
-                    enumerate(cands):
-                collide = is_cand & ~collided \
-                    & (u3 * jnp.maximum(m_loc, 1e-12) < vals[j])
-                hit_t = jnp.where(collide, t_cand, hit_t)
-                tr = jnp.where(collide, tr * alb, tr)
-                collided = collided | collide
-            done = st["done"] | collided | exited
+            collide = found & (u[:, VOL_HOPS + 3]
+                               * jnp.maximum(cand_m, 1e-12) < val)
+            hit_t = jnp.where(collide, cand_t, hit_t)
+            tr = jnp.where(collide, tr * alb, tr)
+            # null candidates continue marching from the candidate point
+            t = jnp.where(found, cand_t, t)
+            done = st["done"] | collide | exited
             return dict(t=t, tr=tr, hit_t=hit_t, done=done,
-                        step=st["step"] + VOL_J)
+                        step=st["step"] + 1)
 
         st = jax.lax.while_loop(cond, _unrolled(body), state)
         return dict(hit_t=st["hit_t"], tr=st["tr"])
@@ -516,45 +553,49 @@ def eval_tr_ratio_tracking(vol, kind, key, ray_o, ray_d, thp, max_t,
             return (~jnp.all(st["done"])) & (st["step"] < MAX_STEPS)
 
         def body(st):
-            # J candidates per iteration, one shared gather (see the
-            # delta-tracking body above); ratio factors and the RR draws
-            # resolve sequentially afterwards, preserving the per-step
-            # tr-dependent RR of the reference (volume.py:448-453)
+            # HOP-CHAIN (r5, see the delta-tracking body): freeze at the
+            # next candidate within VOL_HOPS supervoxel steps, ONE
+            # shared gather, then the ratio factor + tr-dependent RR of
+            # the reference (volume.py:448-453) for the frozen candidate
             k = jax.random.fold_in(key, r * (MAX_STEPS + 1) + st["step"])
-            u = jax.random.uniform(k, (n, VOL_J, 5))
+            u = jax.random.uniform(k, (n, VOL_HOPS + 4))
             t, exited = st["t"], st["done"]
-            cands = []
-            for j in range(VOL_J):
+            found = jnp.zeros((n,), bool)
+            cand_t = t
+            cand_m = jnp.zeros((n,), jnp.float32)
+            for j in range(VOL_HOPS):
                 m_loc, t_cand, t_hop = _sv_step(
-                    vol, ins["lo"], ins["ld"], ins["ch"], t, u[:, j, 4],
+                    vol, ins["lo"], ins["ld"], ins["ch"], t, u[:, j],
                     ins["far"])
-                t_n = jnp.where(t_cand <= t_hop, t_cand, t_hop)
-                ex_n = t_n >= ins["far"]
-                is_cand = ~exited & ~ex_n & (t_cand <= t_hop)
-                pos = ins["lo"] + t_n[:, None] * ins["ld"]
-                ci, okb = _density_index(vol, pos, u[:, j, :3])
-                cands.append((is_cand, okb, ci, m_loc, u[:, j, 3]))
-                t = t_n
-                exited = exited | ex_n
-            vals = _gather_candidates(vol, ins["ch"],
-                                      [c[2] for c in cands],
-                                      [c[1] for c in cands])
+                is_cand = (~exited) & (~found) \
+                    & (t_cand <= jnp.minimum(t_hop, ins["far"]))
+                cand_t = jnp.where(is_cand, t_cand, cand_t)
+                cand_m = jnp.where(is_cand, m_loc, cand_m)
+                found = found | is_cand
+                move = ~(found | exited)
+                t = jnp.where(move, t_hop, t)
+                exited = exited | (move & (t >= ins["far"]))
+            pos = ins["lo"] + cand_t[:, None] * ins["ld"]
+            ci, okb = _density_index(vol, pos, u[:, VOL_HOPS:VOL_HOPS + 3])
+            (val,) = _gather_candidates(vol, ins["ch"], [ci],
+                                        [okb & found])
             tr = st["tr"]
-            dead = jnp.zeros((n,), bool)
-            for j, (is_cand, _okb, _ci, m_loc, u3) in enumerate(cands):
-                act = is_cand & ~dead
-                # ratio factor at the LOCAL rate; hop steps leave tr
-                # alone (exact: piecewise-constant-majorant tracking)
-                tr = jnp.where(act, tr * jnp.maximum(
-                    0.0, 1.0 - vals[j] / jnp.maximum(m_loc, 1e-12)), tr)
-                rr = act & (tr < 0.1)
-                killed = rr & (u3 >= tr)
-                tr = jnp.where(killed, 0.0, jnp.where(rr, 1.0, tr))
-                dead = dead | killed
-            done = st["done"] | exited | dead
-            return dict(t=t, tr=tr, done=done, step=st["step"] + VOL_J)
+            # ratio factor at the LOCAL rate; hop steps leave tr alone
+            # (exact: piecewise-constant-majorant tracking)
+            tr = jnp.where(found, tr * jnp.maximum(
+                0.0, 1.0 - val / jnp.maximum(cand_m, 1e-12)), tr)
+            rr = found & (tr < 0.1)
+            killed = rr & (u[:, VOL_HOPS + 3] >= tr)
+            tr = jnp.where(killed, 0.0, jnp.where(rr, 1.0, tr))
+            t = jnp.where(found, cand_t, t)
+            done = st["done"] | exited | killed
+            return dict(t=t, tr=tr, done=done, step=st["step"] + 1)
 
-        st = jax.lax.while_loop(cond, _unrolled(body), state)
+        if DIFF_STEPS > 0:
+            st = jax.lax.fori_loop(0, DIFF_STEPS, lambda i, s: body(s),
+                                   state)
+        else:
+            st = jax.lax.while_loop(cond, _unrolled(body), state)
         return dict(tr=st["tr"])
 
     outs = _compact_rounds(crossing, inputs, outputs, round_fn)
