@@ -23,7 +23,7 @@ import time
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                 ".."))
 
-ALL_ROWS = ("vpt", "bdpt", "rgbvol", "knot", "orb")
+ALL_ROWS = ("vpt", "bdpt", "rgbvol", "knot", "orb", "trans", "transu")
 
 
 def timed(fn, reps):
@@ -94,6 +94,31 @@ def main():
         pt = lambda s, c, k, i, spp: render_batch_pt(s, c, k, i, spp, 1)
         dt = run("orb", "cbox", "ite-orb.xml", pt, 1, r=3)
         out["iteorb_s_per_spp"] = round(dt, 3)
+
+    def run_trans(unwarp):
+        """Transient BDPT pass (bins accumulate per pass on the host, so
+        one pass per dispatch is the production shape). Sums EVERY
+        output leaf — summing only the color would let XLA dead-code the
+        time-bin histograms, timing a steady render instead."""
+        from adapt_tpu.renderer.bdpt import render_pass_bdpt
+        scene, cfg, _ = load_scene(os.path.join(here, "scenes", "trans"),
+                                   "cbox-point.xml")
+        if unwarp:
+            cfg = dataclasses.replace(cfg, unwarp=True)
+
+        def one(k):
+            outp = render_pass_bdpt(scene, cfg, k, jnp.int32(1))
+            return sum(jnp.sum(x) for x in jax.tree_util.tree_leaves(outp))
+
+        f = jax.jit(one)
+        f(key)
+        return timed(lambda i: f(jax.random.fold_in(key, i)), reps)
+
+    if "trans" in rows:
+        out["trans_cbox512_ms_per_spp"] = round(run_trans(False) * 1e3, 2)
+
+    if "transu" in rows:
+        out["transu_cbox512_ms_per_spp"] = round(run_trans(True) * 1e3, 2)
 
     print(json.dumps(out))
     if os.environ.get("WRITE"):
