@@ -111,8 +111,8 @@ sweep (~13.5 listed visits/tile) the brute flops account for ~52 ms of
 the measured 151 ms knot bounce-closest pass (~1/3): the schedule runs
 ~2.9x above its own flop floor, so work-per-visit cuts saturate at
 ~1.5x even if the brute test were free. MXU dot_general routing of the
-six dual-basis contractions (ADAPT_MXU_DOT, HIGHEST precision): see the
-A/B result recorded next to the knob above.
+six dual-basis contractions (ADAPT_MXU_DOT, HIGHEST precision) measured
+3.03 vs 2.56 s/spp on knot — dead end, recorded at the knob below.
 
 Reference behavior: tracer/path_tracer.py:338-422 (BVH dispatch contract).
 """
@@ -230,10 +230,19 @@ MAJ_K = int(os.environ.get("ADAPT_MAJ_K", "4"))
 QPICK = os.environ.get("ADAPT_QPICK", "0") != "0"
 QP_P = int(os.environ.get("ADAPT_QP_P", "2"))
 # MXU experiment (VERDICT r4 #1b): route the brute test's six ray x prim
-# dual-basis contractions through TWO lax.dot_general calls
-# ((B,3) x (3, 3*TC), precision HIGHEST so the exactness contract holds
-# — f32-accurate bf16 passes) instead of VPU mul+add chains. A/B via
-# scripts/bench_cluster.py + bench_all rows; result recorded below.
+# dual-basis contractions through lax.dot_general (precision HIGHEST so
+# the exactness contract holds — f32-accurate passes) instead of VPU
+# mul+add chains.
+# MEASURED DEAD END (keep off): knot290k 3.03 s/spp vs 2.56 tri-only
+# VPU (chip 2026-08-20, bench_all row, tests green in interpret mode).
+# Two causes, both structural: (a) the packed (3, 3*TC) rhs cannot even
+# be built (Mosaic: lane-axis concat of sublane slices is "result/input
+# offset mismatch" — unimplemented), so it takes SIX K=3 dots; (b) a
+# K=3 contraction uses 3/128 of the systolic array's depth, and the
+# flop floor above shows the brute test is only ~13% of a visit — even
+# a FREE brute test caps the win at 1.15x, while the MXU detour adds
+# VMEM<->MXU layout traffic. Confirms the repo-wide no-small-K-matmul
+# rule inside Pallas kernels too.
 MXU_DOT = os.environ.get("ADAPT_MXU_DOT", "0") != "0"
 # max elements of one (gb, G*B, C) slab intermediate in _tile_shortlists
 _SL_MAX_ELEMS = 1 << 23
@@ -259,15 +268,18 @@ def _prim_chunk_test(r, ro, rd, tri_only=False):
     b = r[3:4, :]
     # triangle: plane + dual basis (same op order as intersect_pallas)
     if MXU_DOT:
-        TCr = r.shape[1]
-        w = jnp.concatenate([r[0:3, :], r[4:7, :], r[8:11, :]], axis=1)
+        # six (B,3)x(3,TC) dots, one per field row. (A packed (3,3*TC)
+        # rhs via lane-axis concat of the sublane slices does not lower:
+        # Mosaic "result/input offset mismatch on non-concat dimension".)
         dn = (((1,), (0,)), ((), ()))
-        po = jax.lax.dot_general(ro, w, dn,
-                                 precision=jax.lax.Precision.HIGHEST)
-        pd = jax.lax.dot_general(rd, w, dn,
-                                 precision=jax.lax.Precision.HIGHEST)
-        o_n, o_u, o_v = po[:, :TCr], po[:, TCr:2 * TCr], po[:, 2 * TCr:]
-        d_n, d_u, d_v = pd[:, :TCr], pd[:, TCr:2 * TCr], pd[:, 2 * TCr:]
+
+        def dot(c0, vec):
+            return jax.lax.dot_general(
+                vec, r[c0:c0 + 3, :], dn,
+                precision=jax.lax.Precision.HIGHEST)
+
+        o_n, o_u, o_v = dot(0, ro), dot(4, ro), dot(8, ro)
+        d_n, d_u, d_v = dot(0, rd), dot(4, rd), dot(8, rd)
         safe_dn = jnp.where(jnp.abs(d_n) < 1e-12, 1e-12, d_n)
         t_tri = (b - o_n) / safe_dn
         u = o_u + t_tri * d_u - r[7:8, :]
