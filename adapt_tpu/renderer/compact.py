@@ -41,6 +41,34 @@ def parse_schedule(s):
     return tuple(out)
 
 
+def derive_schedule(profile, iters, margin=0.7, max_div=64, max_splits=4):
+    """Alive-fraction profile -> compaction schedule, the shipped form of
+    the hand-tuned schedules (measured: knot290k "5:2,9:8" 2.56 -> 2.334
+    s/spp; ite-orb "2:4,4:16,8:64" 5.47 -> 2.252; vpt default "7:2,13:8"
+    59.5 -> 35.1 ms/spp).
+
+    profile[i] = alive fraction AFTER iteration i (host floats, from a
+    probe pass). A split (at, div) is taken greedily when the expected
+    occupancy of the narrowed prefix profile[at-1] * div <= margin —
+    under-margin keeps the lax.cond overflow branch (full-width, sound
+    but wasted sort) improbable — and div at least doubles the current
+    narrowing. Splits cost one multi-operand sort + a prefix re-intersect
+    each, so they are capped and must each at least halve the width."""
+    out = []
+    cur = 1
+    for at in range(1, iters):
+        if len(out) >= max_splits or iters - at < 2:
+            break
+        frac = float(profile[at - 1])
+        div = cur
+        while div * 2 <= max_div and frac * div * 2 <= margin:
+            div *= 2
+        if div >= 2 * cur:
+            out.append((at, div))
+            cur = div
+    return tuple(out)
+
+
 def lane_uniform(it_key, pos, D):
     """(n, D) uniforms keyed by (iteration, ORIGINAL lane id) — draws do
     not depend on the lane's position in the wavefront, so compaction

@@ -15,6 +15,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..ops import bxdf_ops, emitter_ops
 from ..ops.intersect import ray_intersect, does_intersect, cluster_key_hint
@@ -146,13 +147,18 @@ def _finish_it(scene, cfg, it):
     return it
 
 
-def trace_pt(scene, cfg, key, ray_o, ray_d, schedule=None):
+def trace_pt(scene, cfg, key, ray_o, ray_d, schedule=None,
+             collect_alive=False):
     """Trace a (N,3) ray wavefront through the full bounce pipeline.
 
     schedule: length-compaction splits (STATIC; None -> module default
     ADAPT_PT_COMPACT — only safe outside jit). Per-lane RNG is counter-
     based on (bounce, ORIGINAL lane id), so the compacted render equals
-    the uncompacted one lane-for-lane (tests/test_pt_compact.py)."""
+    the uncompacted one lane-for-lane (tests/test_pt_compact.py).
+
+    collect_alive (STATIC): additionally return the (max_bounce,) alive
+    lane count after each bounce (forces the fully-static loop and no
+    compaction — the probe shape auto-compaction derives schedules from)."""
     if schedule is None:
         schedule = _COMPACT
     N = ray_o.shape[0]
@@ -327,22 +333,75 @@ def trace_pt(scene, cfg, key, ray_o, ray_d, schedule=None):
         mat = bxdf_ops.gather_mat(scene, it.obj_id)
         return dict(core, it=it, mat=mat, hit_light=_hit_light(mat, it))
 
+    if collect_alive:
+        log = []
+        color = compact.run_compacted(bounce, init, cfg.max_bounce, (),
+                                      unroll=1, alive_log=log)
+        return color, jnp.stack(log)
     return compact.run_compacted(bounce, init, cfg.max_bounce, schedule,
                                  unroll=1, reduce_fn=reduce_fn,
                                  restore_fn=restore_fn)
 
 
+@partial(jax.jit, static_argnames=("cfg",))
+def probe_alive_pt(scene, cfg, key, cnt):
+    """One full pass that ALSO returns the (max_bounce,) alive counts —
+    the auto-compaction probe. Radiance is returned so the probe sample
+    is accumulated, not wasted."""
+    key, cam_key = jax.random.split(key)
+    ray_o, ray_d = camera_rays(scene, cfg, cam_key, cnt)
+    return trace_pt(scene, cfg, key, ray_o, ray_d, schedule=(),
+                    collect_alive=True)
+
+
+# Auto-compaction gate: scenes with at least this many prims derive a
+# per-scene schedule from a first-pass alive probe (compact.
+# derive_schedule). Small/cheap passes measured compaction as a wash
+# (the cbox flagship dead end above), so they stay schedule-free.
+_AUTO_MIN_PRIMS = int(_os.environ.get("ADAPT_PT_AUTO_COMPACT", "20000"))
+
+
 class Renderer(ProgressiveRenderer):
-    """Unidirectional MIS path tracer (reference vanilla_renderer.py:22)."""
+    """Unidirectional MIS path tracer (reference vanilla_renderer.py:22).
+
+    Big scenes (>= ADAPT_PT_AUTO_COMPACT prims, default 20000) probe the
+    alive profile on their first pass and length-compact every later
+    pass with the derived schedule (measured: knot290k 2.56 -> 2.33
+    s/spp, ite-orb 5.47 -> 2.25; an explicit ADAPT_PT_COMPACT env
+    schedule wins over auto)."""
+
+    def __init__(self, scene, cfg, seed: int = 0):
+        super().__init__(scene, cfg, seed)
+        self._sched = _COMPACT if _COMPACT else None
+        n_prims = (scene.tri_gid.shape[0] + scene.sph_gid.shape[0])
+        self._auto = (not _COMPACT) and n_prims >= _AUTO_MIN_PRIMS
+
+    def _schedule(self):
+        if self._auto and self._sched is None:
+            # side-effect-free probe: a fold_in key off the CURRENT state
+            # (self.key untouched) and a discarded sample keep the RNG
+            # stream identical to a schedule-free renderer, so auto ==
+            # plain exactly (test_pt_compact.py); the one probe pass
+            # amortizes over the render
+            _, counts = probe_alive_pt(self.scene, self.cfg,
+                                       jax.random.fold_in(self.key, 0x5EED),
+                                       jnp.int32(1))
+            profile = np.asarray(counts, np.float64) / self.cfg.n_pixels
+            self._sched = compact.derive_schedule(profile,
+                                                  self.cfg.max_bounce)
+        return self._sched or ()
 
     def render_pass(self, key, cnt):
         return render_pass_pt(self.scene, self.cfg, key,
-                              jnp.asarray(cnt, jnp.int32))
+                              jnp.asarray(cnt, jnp.int32),
+                              schedule=self._schedule())
 
     def render_batch(self, spp: int, fuse: int = 1):
+        sched = self._schedule()
         self.key, sub = jax.random.split(self.key)
         acc = render_batch_pt(self.scene, self.cfg, sub,
-                              jnp.int32(self.cnt + 1), spp, fuse)
+                              jnp.int32(self.cnt + 1), spp, fuse,
+                              schedule=sched)
         self.cnt += spp
         self.color = self.color + acc.reshape(self.cfg.w, self.cfg.h, 3)
         return self.color
