@@ -23,23 +23,15 @@ from ..constants import VolumeTag
 from .gather import select_along, tgather
 
 MAX_STEPS = 1024
-# candidate steps advanced per while-iteration (one shared gather): the
-# candidate-position stream of null-collision tracking is independent of
-# the acceptance draws, so J steps can be generated in registers, looked
-# up in ONE J-major gather, and resolved sequentially afterwards —
-# distribution-identical to stepping one candidate at a time (verified:
-# J=1 vs J=4 agree within 1.2 combined se at 12 seeds, both regimes).
-# MEASURED DEAD END at J>1 (keep 1): the microbench won 21%
-# (bench_while gather4x16 46.4 vs gather1x64 58.4 ms — batched gathers
-# pipeline better per element) but the full render LOST: rgbvol row
-# 0.838 (J=1) -> 0.873 (J=4) with khit/unroll isolated as neutral
-# (chain13 ablations 2026-08-20). The J-unrolled _sv_step chains grow
-# the march body (majorant one-hots, DDA hops x J) faster than the
-# saved iteration overhead — in-context the while iterations do NOT
-# carry the ~0.5 ms the top-level microbench suggested (that figure was
-# mostly fixed dispatch+fetch cost of the tiny benchmark program).
+# HISTORY — J-batch (r4, knob removed; superseded by the hop-chain
+# below): J candidate steps per while-iteration through one J-major
+# gather was distribution-exact but a MEASURED DEAD END (rgbvol 0.838
+# J=1 -> 0.873 J=4, chain13 ablations 2026-08-20): it amortized loop
+# overhead without cutting the per-ray GATHER count, and the J-unrolled
+# _sv_step chains grew the body faster than the saved iteration
+# overhead. The hop-chain differs in exactly that dimension — it
+# removes gather PASSES — which is why it won where J-batch lost.
 import os as _os
-VOL_J = int(_os.environ.get("ADAPT_VOL_J", "1"))
 # HOP-CHAIN depth (r5, supersedes the J-batch in the march bodies): each
 # while-iteration advances up to VOL_HOPS supervoxel DDA steps in
 # registers, FREEZING at the lane's next collision candidate, then does
