@@ -112,9 +112,17 @@ def main():
             [ps, tot[:, 0], tot[:, 1], tot[:, 2]], num_keys=1)
         return film + jnp.stack([t0, t1, t2], -1)[:P]
 
+    def tile_kernel(film, idx, rgb):
+        from adapt_tpu.ops.splat_pallas import splat_sorted_accumulate
+        ii = idx.reshape(-1)
+        rr = rgb.reshape(-1, 3)
+        ii, r0, r1, r2 = jax.lax.sort(
+            [ii, rr[:, 0], rr[:, 1], rr[:, 2]], num_keys=1)
+        return splat_sorted_accumulate(film, ii, r0, r1, r2)
+
     film = jnp.zeros((P, 3), jnp.float32)
     fns = {"a_sep6": sep, "b_cat": cat, "c_cat_sorted": cat_sorted,
-           "d_sortsum": sortsum}
+           "d_sortsum": sortsum, "e_tile_kernel": tile_kernel}
     outs = {}
     for name, f in fns.items():
         fn = loop(f)
