@@ -77,6 +77,12 @@ def _log_overflow(frac):
 # vpt ledger row (2026-08-20): baseline-with-lane-RNG 61.41 ms/spp,
 # "9:4" 35.47, "7:2,13:8" 35.06 (deeper splits are diminishing returns
 # against fixed floors and add ~7 min of one-time compile per width).
+# Static on purpose: the measured optimum for the benched workload wins
+# over probe-derived generality here (each extra width costs real
+# compile time); PT's probe+derive_schedule machinery (renderer/pt.py
+# probe_alive_pt) is the template if per-scene VPT schedules are ever
+# needed — an over-eager split only hits the sound lax.cond overflow
+# branch (correct, just a wasted sort).
 _COMPACT = compact.parse_schedule(
     os.environ.get("ADAPT_VPT_COMPACT", "7:2,13:8"))
 # report per-iteration alive counts (schedule tuning). Works through an
